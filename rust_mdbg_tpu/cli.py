@@ -1,0 +1,162 @@
+"""Command-line interface.
+
+Flag parity with the reference's structopt Opt (/root/reference/src/main.rs:228-423)
+plus TPU-framework execution flags.  Subcommands cover the second binary and the
+shell tooling too:
+
+    python -m rust_mdbg_tpu <reads> [flags...]          # == rust-mdbg
+    python -m rust_mdbg_tpu to-basespace --gfa G --sequences P
+    python -m rust_mdbg_tpu gfa-asm ... / magic-simplify P / multik ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .params import Params, autodetect_k_l_d, default_prefix
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rust_mdbg_tpu",
+        description="TPU-native minimizer-space de Bruijn graph (mdBG) assembler.",
+    )
+    p.add_argument("reads", help="input FASTA/FASTQ (.gz/.lz4 ok)")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("-p", "--prefix", default=None)
+    p.add_argument("-k", type=int, default=None, help="k-min-mer length")
+    p.add_argument("-l", type=int, default=None, help="minimizer length")
+    p.add_argument("-n", type=int, default=None, help="EC bucketing tuple length")
+    p.add_argument("-t", type=int, default=None, help="POA path weight threshold")
+    p.add_argument("-d", "--density", type=float, default=None)
+    p.add_argument("--minabund", type=int, default=None)
+    p.add_argument("--distance", type=int, default=None,
+                   help="0: Jaccard, 1: containment, 2: Mash")
+    p.add_argument("--correction-threshold", type=int, default=None)
+    p.add_argument("--error-correct", action="store_true")
+    p.add_argument("--restart-from-postcor", action="store_true")
+    p.add_argument("--reference", action="store_true")
+    p.add_argument("--bf", action="store_true")
+    p.add_argument("--skiphpc", action="store_true")
+    p.add_argument("--no-basespace", action="store_true")
+    p.add_argument("--read-stats", default=None)
+    p.add_argument("--syncmers", action="store_true")
+    p.add_argument("-s", type=int, default=None, help="syncmer substring length")
+    p.add_argument("--lmer-counts", default=None)
+    p.add_argument("--lmer-counts-min", type=int, default=None)
+    p.add_argument("--lmer-counts-max", type=int, default=None)
+    p.add_argument("--presimp", type=float, default=None)
+    p.add_argument("--uhs", default=None, help="universal k-mer file")
+    p.add_argument("--lcp", default=None, help="core substring file")
+    p.add_argument("--threads", type=int, default=None)
+    # TPU-framework execution flags
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "host", "device", "pallas"])
+    p.add_argument("--batch-reads", type=int, default=512)
+    p.add_argument("--max-read-len", type=int, default=0)
+    return p
+
+
+def params_from_args(args) -> tuple[Params, str]:
+    k, l, density = 10, 12, 0.10
+    if args.k is None and args.l is None and args.density is None:
+        from .io.fastx import read_first_n_reads
+
+        print("Autodetecting values for k, l, and density.")
+        mean_len, _ = read_first_n_reads(args.reads, 100)
+        k, l, density = autodetect_k_l_d(mean_len)
+        print(f"Setting k = {k} l = {l} density = {density}.")
+    else:
+        if args.k is not None:
+            k = args.k
+        if args.l is not None:
+            l = args.l
+        if args.density is not None:
+            density = args.density
+    params = Params(
+        k=k, l=l, density=density,
+        n=args.n if args.n is not None else 2,
+        t=args.t if args.t is not None else 0,
+        min_kmer_abundance=args.minabund if args.minabund is not None else 2,
+        presimp=args.presimp if args.presimp is not None else 0.01,
+        distance=min(args.distance, 2) if args.distance is not None else 0,
+        correction_threshold=(
+            args.correction_threshold if args.correction_threshold is not None else 0
+        ),
+        error_correct=bool(args.error_correct) and not args.reference,
+        reference=bool(args.reference),
+        use_bf=bool(args.bf),
+        reads_already_hpc=bool(args.skiphpc),
+        use_syncmers=bool(args.syncmers),
+        s=args.s if args.s is not None else 4,
+        no_basespace=bool(args.no_basespace),
+        has_lmer_counts=args.lmer_counts is not None,
+        lmer_counts_min=(
+            args.lmer_counts_min if args.lmer_counts_min is not None else 2
+        ),
+        lmer_counts_max=(
+            args.lmer_counts_max if args.lmer_counts_max is not None else 100000
+        ),
+        uhs=args.uhs is not None,
+        lcp=args.lcp is not None,
+        debug=bool(args.debug),
+        threads=args.threads if args.threads is not None else 8,
+        engine=args.engine,
+        batch_reads=args.batch_reads,
+        max_read_len=args.max_read_len,
+    )
+    if args.lmer_counts is not None:
+        object.__setattr__(params, "_lmer_counts_path", args.lmer_counts)
+    if args.uhs is not None:
+        object.__setattr__(params, "_uhs_path", args.uhs)
+    if args.lcp is not None:
+        object.__setattr__(params, "_lcp_path", args.lcp)
+    prefix = args.prefix if args.prefix is not None else default_prefix(params)
+    return params, prefix
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # subcommand dispatch
+    if argv and argv[0] in (
+        "to-basespace", "gfa-asm", "magic-simplify", "multik", "gfa2fasta",
+        "break-loops", "simplify-meta",
+    ):
+        from .tools import dispatch
+
+        return dispatch(argv[0], argv[1:])
+    args = build_parser().parse_args(argv)
+    params, prefix = params_from_args(args)
+    import time
+
+    t0 = time.time()
+    from .core.pipeline import assemble, run_read_stats
+
+    if args.restart_from_postcor:
+        from .models.correct import assemble_from_postcor
+
+        stats = assemble_from_postcor(params, prefix)
+    else:
+        stats = assemble(args.reads, params, prefix,
+                         read_stats_path=args.read_stats)
+    print(f"Number of reads: {stats.get('nb_reads', 0)}")
+    if args.read_stats:
+        print("Read stats written, exiting.")
+        return 0
+    print(f"Number of mdBG nodes: {stats.get('nb_nodes', 0)}")
+    print(f"Number of mdBG edges: {stats.get('nb_edges', 0)}")
+    if params.presimp > 0.0:
+        print(
+            f"Pre-simp = {params.presimp}: "
+            f"{stats.get('presimp_removed', 0)} edges removed."
+        )
+    from .utils.timing import max_rss_bytes
+
+    print(f"Total execution time: {time.time() - t0:.2f}s")
+    print(f"Maximum RSS: {max_rss_bytes() / 1024**3:.3f}GB")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,229 @@
+"""Single-process assembly pipeline: reads -> mdBG GFA + .sequences sidecars.
+
+This is the framework's equivalent of the reference's main() flow
+(/root/reference/src/main.rs:425-1160): stream reads in fixed-shape batches,
+run an extraction engine (host numpy / device JAX / Pallas) to get k-min-mer
+windows, feed them through the native node table, write .sequences records at
+the abundance-crossing occurrence, then abundance-filter and emit the GFA with
+presimp.  Error correction (minimizer-space POA) plugs in between the first
+pass and graph construction, mirroring main.rs:846-914.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..io import fastx
+from ..io.ec_data import EcWriter
+from ..io.sequences import SequencesWriter, remove_stale
+from ..params import Params
+from ..utils.seq import revcomp
+from ..utils.timing import PhaseTimer
+from .extract import extract_windows_host
+from .graph import build_gfa
+from .nodetable import NodeTable
+
+
+def _pick_engine(params: Params):
+    if params.engine in ("device", "pallas", "auto"):
+        try:
+            from ..ops.extract import make_device_extractor
+
+            return make_device_extractor(params)
+        except Exception:
+            if params.engine != "auto":
+                raise
+    return None
+
+
+def assemble(reads_path: str, params: Params, prefix: str,
+             read_stats_path: str | None = None) -> dict:
+    """Run the full single-k assembly. Returns stats dict.
+
+    If read_stats_path is given, mirror the reference's read_stats mode
+    (main.rs:938-1004): after the abundance filter, write per-read k-min-mer
+    abundances of that file's reads and return WITHOUT writing a GFA.
+    """
+    timer = PhaseTimer()
+    stats: dict = {}
+
+    # --- parameter-dependent preparation ---------------------------------
+    minimizer_to_int = None
+    int_to_minimizer = None
+    if params.has_lmer_counts or params.error_correct:
+        from ..ops.minimizers import minimizers_preparation
+
+        lmer_counts = {}
+        if params.has_lmer_counts and getattr(params, "_lmer_counts_path", None):
+            lmer_counts = load_lmer_counts(params._lmer_counts_path)
+        minimizer_to_int, int_to_minimizer, _ = minimizers_preparation(
+            params, lmer_counts
+        )
+
+    remove_stale(prefix)
+
+    table = NodeTable(
+        min_abundance=params.min_kmer_abundance,
+        use_bf=params.use_bf,
+        keep_all=params.reference,
+    )
+
+    device_extract = _pick_engine(params)
+
+    write_seqs_first_pass = not params.error_correct
+    seq_writer = None
+    ec_writer = None
+    buckets: dict[tuple, list[str]] = {}
+    reads_by_id: dict = {}
+    need_ec_file = params.error_correct or params.reference
+    if need_ec_file:
+        ec_writer = EcWriter(prefix)
+
+    max_len = params.max_read_len
+    if max_len <= 0:
+        mean_len, mx = fastx.read_first_n_reads(reads_path, 100)
+        max_len = max(1024, 2 * mx)
+    nb_reads = 0
+    nb_windows = 0
+
+    with timer.phase("extract+count"):
+        for batch in fastx.batches(reads_path, params.batch_reads, max_len):
+            if device_extract is not None:
+                wb = device_extract(batch)
+            else:
+                wb = extract_windows_host(batch, params, minimizer_to_int)
+            nb_reads += batch.n_reads
+            nb_windows += wb.n_windows
+            flags, index = table.add_batch(
+                wb.key_lo, wb.key_hi, wb.seqlen, wb.shift0, wb.shift1
+            )
+            # record .sequences lines for crossing occurrences
+            if write_seqs_first_pass:
+                hit = np.nonzero(flags)[0]
+                if hit.size:
+                    if seq_writer is None:
+                        seq_writer = SequencesWriter(prefix, 0, params.k, params.l)
+                    for j in hit:
+                        idx = int(index[j])
+                        table.vectors[idx] = wb.vecs[j].copy()
+                        if not params.no_basespace:
+                            row = int(wb.read_row[j])
+                            raw = batch.raw[row]
+                            s = raw[int(wb.start[j]) : int(wb.end[j])].decode()
+                            if wb.reversed_[j]:
+                                s = revcomp(s)
+                            seq_writer.record(
+                                idx, wb.vecs[j], s, "*",
+                                (int(wb.shift0[j]), int(wb.shift1[j])),
+                            )
+                        else:
+                            pass
+            else:
+                hit = np.nonzero(flags)[0]
+                for j in hit:
+                    table.vectors[int(index[j])] = wb.vecs[j].copy()
+
+            if need_ec_file:
+                for row in range(batch.codes.shape[0]):
+                    m = wb.minimizers[row] if row < len(wb.minimizers) else None
+                    if m is None:
+                        continue
+                    pos, hashes = m
+                    if len(hashes) < params.n:
+                        continue
+                    rid = batch.ids[row]
+                    seq_str = batch.raw[row].decode()
+                    if params.reference:
+                        seq_str = seq_str.replace("\n", "").replace("\r", "")
+                    ec_writer.record(rid, seq_str, hashes, [], pos)
+                    if params.error_correct:
+                        reads_by_id[rid] = dict(
+                            id=rid, seq=seq_str,
+                            transformed=[int(x) for x in hashes],
+                            pos=[int(x) for x in pos],
+                        )
+                        from ..utils.seq import normalize_vec
+
+                        t = [int(x) for x in hashes]
+                        for i in range(len(t) - params.n + 1):
+                            buckets.setdefault(
+                                normalize_vec(t[i : i + params.n]), []
+                            ).append(rid)
+
+    if ec_writer is not None:
+        ec_writer.flush()
+    stats["nb_reads"] = nb_reads
+    stats["nb_windows"] = nb_windows
+
+    # --- error correction pass ------------------------------------------
+    if params.error_correct:
+        from ..models.correct import run_error_correction, reingest_postcor
+
+        with timer.phase("error-correct"):
+            run_error_correction(
+                prefix, params, int_to_minimizer, buckets, reads_by_id
+            )
+        with timer.phase("reingest"):
+            table.clear()
+            seq_writer = reingest_postcor(prefix, params, table, seq_writer)
+
+    if seq_writer is not None:
+        seq_writer.close()
+
+    # --- abundance filter -----------------------------------------------
+    stats["nb_nodes_prefilter"] = len(table)
+    if params.min_kmer_abundance > 1:
+        table.retain(params.min_kmer_abundance)
+
+    if read_stats_path is not None:
+        with timer.phase("read-stats"):
+            run_read_stats(reads_path, read_stats_path, params, table,
+                           f"{read_stats_path}.read_stats")
+        stats["phases"] = timer.report()
+        return stats
+
+    with timer.phase("gfa"):
+        nodes = table.dump()
+        g = build_gfa(f"{prefix}.gfa", nodes, table.vectors, presimp=params.presimp)
+    stats.update(g)
+    stats["phases"] = timer.report()
+    return stats
+
+
+def load_lmer_counts(path: str) -> dict[str, int]:
+    """Parse k-mer-counter output: `<lmer> <count>` lines, canonicalized
+    (main.rs:546-566)."""
+    counts: dict[str, int] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            lmer = parts[0]
+            lrev = revcomp(lmer)
+            counts[min(lmer, lrev)] = int(parts[1])
+    return counts
+
+
+def run_read_stats(reads_path: str, stats_path: str, params: Params,
+                   table: NodeTable, out_path: str):
+    """Second input pass writing per-read k-min-mer abundances
+    (read_stats mode, main.rs:938-1004 + read_stats.rs)."""
+    from ..ops.kminmer import fingerprint128_np
+    from .extract import extract_minimizers_host, extract_windows_host
+
+    max_len = max(1024, 2 * fastx.read_first_n_reads(stats_path, 100)[1])
+    with open(out_path, "w") as out:
+        for batch in fastx.batches(stats_path, params.batch_reads, max_len,
+                                   keep_raw=False):
+            wb = extract_windows_host(batch, params)
+            ab = table.lookup_batch(wb.key_lo, wb.key_hi)
+            for row in range(batch.codes.shape[0]):
+                if batch.lengths[row] == 0:
+                    continue
+                sel = wb.read_row == row
+                counts = "".join(f"{int(a)} " for a in ab[sel])
+                out.write(f"{batch.ids[row]}: {counts}\n")

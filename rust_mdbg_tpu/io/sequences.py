@@ -1,0 +1,80 @@
+""".sequences sidecar files (LZ4F-compressed, per-shard).
+
+Format parity (/root/reference/src/main.rs:616-630, 696-707):
+
+    # k = <k>
+    # l = <l>
+    # Structure of remaining of the file:
+    # [node name]\t[list of minimizers]\t[sequence of node]\t[abundance]\t[origin]\t[shift]
+    <index>\t[h0, h1, ...]\t<seq>\t*\t<origin>\t(s0, s1)
+
+The reference writes one file per worker thread (`prefix.<tid>.sequences`);
+we write one per pipeline shard/host with the same naming contract so
+to_basespace-style globbing (`prefix.*.sequences`, to_basespace.rs:233) works.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from .lz4f import LZ4FWriter, open_text
+
+
+def sequences_path(prefix: str, shard: int) -> str:
+    return f"{prefix}.{shard}.sequences"
+
+
+def remove_stale(prefix: str):
+    """Delete all previous `prefix*.sequences` (main.rs:608-613)."""
+    for p in _glob.glob(f"{prefix}*.sequences"):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
+class SequencesWriter:
+    def __init__(self, prefix: str, shard: int, k: int, l: int):
+        self._w = LZ4FWriter(sequences_path(prefix, shard))
+        self._w.write(f"# k = {k}\n")
+        self._w.write(f"# l = {l}\n")
+        self._w.write("# Structure of remaining of the file:\n")
+        self._w.write(
+            "# [node name]\t[list of minimizers]\t[sequence of node]\t[abundance]\t[origin]\t[shift]\n"
+        )
+
+    def record(self, index: int, minimizers, seq: str, origin: str, shift):
+        mins = "[" + ", ".join(str(int(m)) for m in minimizers) + "]"
+        self._w.write(
+            f"{index}\t{mins}\t{seq}\t*\t{origin}\t({shift[0]}, {shift[1]})\n"
+        )
+
+    def close(self):
+        self._w.close()
+
+
+def iter_sequences(prefix: str):
+    """Yield parsed records from all `prefix.*.sequences` shards.
+
+    Yields dicts: index, minimizers (tuple[int]), seq (str), origin, shift (pair).
+    Mirrors utils/parse_sequences_file.py + to_basespace.rs:200-243.
+    """
+    for path in sorted(_glob.glob(f"{prefix}.*.sequences")):
+        with open_text(path) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                v = line.rstrip("\n").split("\t")
+                mins = tuple(
+                    int(x) for x in v[1].strip("[]").split(",") if x.strip()
+                )
+                sh = v[5].strip("()").split(",")
+                yield dict(
+                    index=int(v[0]),
+                    minimizers=mins,
+                    seq=v[2],
+                    abundance=v[3],
+                    origin=v[4],
+                    shift=(int(sh[0]), int(sh[1])),
+                )

@@ -1,0 +1,113 @@
+"""k-min-mer windowing, canonicalization, shifts and read offsets.
+
+Parity targets:
+- `KmerVec::normalize` (/root/reference/src/kmer_vec.rs:34-39): canonical form is
+  the lexicographic min of the vector and its reversal; `reversed` is true iff
+  NOT (vec < reversed) — note a palindromic vector reports reversed=True.
+- windowing loop (/root/reference/src/main.rs:756-781): windows i over
+  0..n-k+1, emitted only when n > k (strictly); shift pair and read offsets:
+    shift = (pos[i+1]-pos[i], pos[i+k-1]-pos[i+k-2])    swapped when reversed
+    read_offsets = (pos[i], pos[i+k-1] + l, pos[i+k-1] - pos[i] + 2)
+  (the third member is the recorded `seqlen`, main.rs:778 — intentionally NOT
+  the true slice length; the true slice is seq[pos[i] : pos[i+k-1]+l]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FNV1 = np.uint64(0x100000001B3)
+_FNV2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_OFF1 = np.uint64(0xCBF29CE484222325)
+_OFF2 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def window_kminmers_np(
+    pos: np.ndarray, hashes: np.ndarray, k: int, l: int
+) -> list[dict]:
+    """All k-min-mer windows for one read's selected minimizers.
+
+    Returns a list of dicts with keys: vec (canonical tuple), reversed,
+    shift (pair), start, end, seqlen.  Empty unless len(hashes) > k.
+    """
+    n = hashes.shape[0]
+    if n <= k:
+        return []
+    out = []
+    for i in range(n - k + 1):
+        vec = tuple(int(x) for x in hashes[i : i + k])
+        rev = vec[::-1]
+        reversed_ = not (vec < rev)
+        canon = rev if reversed_ else vec
+        d_first = int(pos[i + 1] - pos[i])
+        d_last = int(pos[i + k - 1] - pos[i + k - 2])
+        shift = (d_last, d_first) if reversed_ else (d_first, d_last)
+        out.append(
+            dict(
+                vec=canon,
+                reversed=reversed_,
+                shift=shift,
+                start=int(pos[i]),
+                end=int(pos[i + k - 1]) + l,
+                seqlen=int(pos[i + k - 1]) - int(pos[i]) + 2,
+            )
+        )
+    return out
+
+
+def fingerprint128_np(vecs: np.ndarray) -> np.ndarray:
+    """Order-dependent 128-bit fingerprint of u64 vectors.
+
+    vecs: uint64 [..., k] -> uint64 [..., 2].  Two independent FNV-style lanes;
+    used as the sort/count key standing in for the reference's full-vector
+    DashMap key (main.rs:595).  Collision probability over N distinct k-min-mers
+    is ~N^2/2^129 (negligible at genome scale); the host node table additionally
+    stores the full vector so any collision would be detected.
+    """
+    vecs = np.asarray(vecs, dtype=np.uint64)
+    h1 = np.full(vecs.shape[:-1], _OFF1, dtype=np.uint64)
+    h2 = np.full(vecs.shape[:-1], _OFF2, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(vecs.shape[-1]):
+            x = vecs[..., j]
+            h1 = (h1 ^ x) * _FNV1
+            h1 ^= h1 >> np.uint64(29)
+            h2 = (h2 ^ x) * _FNV2
+            h2 ^= h2 >> np.uint64(31)
+    return np.stack([h1, h2], axis=-1)
+
+
+def canonicalize_jax(vecs):
+    """Batched KmerVec::normalize.
+
+    vecs: uint64 [..., k] -> (canon [..., k], reversed bool [...]).
+    Lexicographic vec >= reversed(vec) via first-difference compare.
+    """
+    import jax.numpy as jnp
+
+    rev = vecs[..., ::-1]
+    ne = vecs != rev
+    # index of first differing position; k if palindrome
+    k = vecs.shape[-1]
+    first = jnp.argmax(ne, axis=-1)
+    any_ne = ne.any(axis=-1)
+    a = jnp.take_along_axis(vecs, first[..., None], axis=-1)[..., 0]
+    b = jnp.take_along_axis(rev, first[..., None], axis=-1)[..., 0]
+    # reversed = not (vec < rev): palindromes (no diff) -> True
+    reversed_ = jnp.where(any_ne, a > b, True)
+    canon = jnp.where(reversed_[..., None], rev, vecs)
+    return canon, reversed_
+
+
+def fingerprint128_jax(vecs):
+    import jax.numpy as jnp
+
+    h1 = jnp.full(vecs.shape[:-1], _OFF1, dtype=jnp.uint64)
+    h2 = jnp.full(vecs.shape[:-1], _OFF2, dtype=jnp.uint64)
+    for j in range(vecs.shape[-1]):
+        x = vecs[..., j]
+        h1 = (h1 ^ x) * _FNV1
+        h1 = h1 ^ (h1 >> np.uint64(29))
+        h2 = (h2 ^ x) * _FNV2
+        h2 = h2 ^ (h2 >> np.uint64(31))
+    return jnp.stack([h1, h2], axis=-1)

@@ -1,0 +1,95 @@
+"""Assembly parameters and auto-detection.
+
+Mirrors the reference's `Params` struct (/root/reference/src/main.rs:92-114), its
+defaults (main.rs:434-455) and `autodetect_k_l_d` (main.rs:214-226), but as an
+immutable dataclass threaded through the pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class Params:
+    # core mdBG parameters (reference defaults: main.rs:434-455)
+    l: int = 12
+    k: int = 10
+    n: int = 2                 # bucketing tuple length for EC (main.rs:436)
+    t: int = 0                 # POA path weight threshold (main.rs:437)
+    density: float = 0.10
+    min_kmer_abundance: int = 2
+    presimp: float = 0.01
+
+    # minimizer scheme switches
+    use_syncmers: bool = False
+    s: int = 4                 # syncmer mini-kmer size (main.rs:438)
+    uhs: bool = False
+    lcp: bool = False
+
+    # lmer-counts / robust minimizers (main.rs:446-448)
+    has_lmer_counts: bool = False
+    lmer_counts_min: int = 2
+    lmer_counts_max: int = 100000
+
+    # error correction
+    error_correct: bool = False
+    correction_threshold: int = 0
+    distance: int = 0          # 0: Jaccard, 1: containment, 2: Mash (main.rs:486)
+
+    # modes
+    reference: bool = False    # input is genome(s), keep all k-min-mers (main.rs:342-348)
+    use_bf: bool = False
+    reads_already_hpc: bool = False
+    no_basespace: bool = False
+    debug: bool = False
+
+    # execution (not in the reference Params; TPU-framework additions)
+    threads: int = 8
+    engine: str = "auto"       # "host" (numpy), "device" (JAX/XLA), "pallas", "auto"
+    batch_reads: int = 512     # reads per device batch
+    max_read_len: int = 0      # 0 = auto from input scan
+    max_minimizers_per_read: int = 0  # 0 = auto (capacity of compacted tensor)
+
+    @property
+    def hash_bound(self) -> int:
+        """Density rule threshold: keep l-mer iff canonical ntHash <= bound.
+
+        Exactly the reference's `((density as f64) * (u64::max_value() as f64)) as u64`
+        (/root/reference/src/read.rs:183): u64::MAX as f64 rounds up to 2^64, the
+        product truncates toward zero, and the cast saturates at u64::MAX.
+        """
+        b = int(float(self.density) * 18446744073709551616.0)  # 2^64 as f64
+        return min(b, 2**64 - 1)
+
+    @property
+    def syncmer_hash_bound(self) -> int:
+        """Syncmer downsampling bound: density * 4^l (/root/reference/src/read.rs:217)."""
+        return int(float(self.density) * float(4 ** self.l))
+
+    def replace(self, **kw) -> "Params":
+        return dataclasses.replace(self, **kw)
+
+
+def autodetect_k_l_d(mean_read_length: int) -> tuple[int, int, float]:
+    """k, l, density from mean read length (/root/reference/src/main.rs:214-226).
+
+    The reference samples the first 100 reads for the mean; callers pass that mean in.
+    """
+    d = 0.003
+    k = int(d * float(mean_read_length))
+    l = 12
+    return k, l, d
+
+
+def default_prefix(p: Params) -> str:
+    """Default output prefix `graph-k{k}-d{d}-l{l}` (/root/reference/src/main.rs:498).
+
+    Rust's `{}` float formatting prints 0.003 as "0.003" and 0.1 as "0.1"; Python's
+    repr of these f64 values matches for the short-decimal cases used here.
+    """
+    d = repr(float(p.density))
+    if d.endswith(".0"):
+        d = d[:-2] + ".0"  # keep Rust-like "1.0" style (not "1")
+    return f"graph-k{p.k}-d{d}-l{p.l}"

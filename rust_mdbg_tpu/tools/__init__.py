@@ -1,0 +1,38 @@
+"""Pipeline tooling subcommands (the reference's second binary + utils/ scripts).
+
+Dispatch table for `python -m rust_mdbg_tpu <tool> ...`.
+"""
+
+from __future__ import annotations
+
+
+def dispatch(name: str, argv: list[str]) -> int:
+    if name == "to-basespace":
+        from .to_basespace import main
+
+        return main(argv)
+    if name == "gfa-asm":
+        from .gfa_asm import main
+
+        return main(argv)
+    if name == "magic-simplify":
+        from .magic_simplify import main
+
+        return main(argv)
+    if name == "simplify-meta":
+        from .magic_simplify import main
+
+        return main(argv + ["--meta"])
+    if name == "multik":
+        from .multik import main
+
+        return main(argv)
+    if name == "gfa2fasta":
+        from .gfa2fasta import main
+
+        return main(argv)
+    if name == "break-loops":
+        from .gfa_break_loops import main
+
+        return main(argv)
+    raise SystemExit(f"unknown tool: {name}")

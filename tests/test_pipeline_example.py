@@ -1,0 +1,77 @@
+"""End-to-end pipeline on the reference's example data
+(/root/reference/example/reads-0.00.fa.gz: 657 synthetic D. mel chr4 reads,
+README.md:38-42 documents k=7, l=10, d=0.0008, minabund=2)."""
+
+import numpy as np
+import pytest
+
+from rust_mdbg_tpu.core.pipeline import assemble
+from rust_mdbg_tpu.io.sequences import iter_sequences
+from rust_mdbg_tpu.params import Params
+
+
+@pytest.fixture(scope="module")
+def example_run(tmp_path_factory):
+    prefix = str(tmp_path_factory.mktemp("ex") / "example")
+    p = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2, engine="host")
+    stats = assemble("/root/reference/example/reads-0.00.fa.gz", p, prefix)
+    return prefix, stats
+
+
+def test_counts(example_run):
+    prefix, stats = example_run
+    assert stats["nb_reads"] == 657
+    # snapshot of this implementation's deterministic output
+    assert stats["nb_nodes"] == 88
+    assert stats["nb_edges"] == 174
+
+
+def test_gfa_format(example_run):
+    prefix, _ = example_run
+    lines = open(prefix + ".gfa").read().splitlines()
+    assert lines[0] == "H\tVN:Z:1.0"
+    s_lines = [l for l in lines if l.startswith("S")]
+    l_lines = [l for l in lines if l.startswith("L")]
+    assert len(s_lines) == 88 and len(l_lines) == 174
+    f = s_lines[0].split("\t")
+    assert f[2] == "*" and f[3].startswith("LN:i:") and f[4].startswith("KC:i:")
+    f = l_lines[0].split("\t")
+    assert f[2] in "+-" and f[4] in "+-" and f[5].endswith("M")
+    # symmetric edge pairing: L a o1 b o2 has the reverse complement line
+    edges = set()
+    for l in l_lines:
+        _, a, o1, b, o2, ov = l.split("\t")
+        edges.add((a, o1, b, o2))
+    flip = {"+": "-", "-": "+"}
+    for a, o1, b, o2 in edges:
+        assert (b, flip[o2], a, flip[o1]) in edges
+
+
+def test_sequences_records(example_run):
+    prefix, _ = example_run
+    recs = list(iter_sequences(prefix))
+    assert len(recs) == 88
+    by_index = {r["index"] for r in recs}
+    assert len(by_index) == 88
+    for r in recs:
+        assert len(r["minimizers"]) == 7
+        assert set(r["seq"]) <= set("ACGTN")
+        assert len(r["seq"]) > 100
+
+
+def test_abundance_matches_coverage(example_run):
+    prefix, _ = example_run
+    # 657 reads x ~23kb over a 100kb region ~ 150x coverage
+    kcs = []
+    for line in open(prefix + ".gfa"):
+        if line.startswith("S"):
+            kcs.append(int(line.split("KC:i:")[1].split()[0]))
+    assert 100 < np.median(kcs) < 200
+
+
+def test_deterministic(example_run, tmp_path):
+    prefix, _ = example_run
+    p = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2, engine="host")
+    prefix2 = str(tmp_path / "ex2")
+    assemble("/root/reference/example/reads-0.00.fa.gz", p, prefix2)
+    assert open(prefix + ".gfa").read() == open(prefix2 + ".gfa").read()
