@@ -1,0 +1,344 @@
+"""Assembly-graph simplification: tip cutting, bubble popping, unitig output.
+
+Native replacement for `gfatools asm -t N,L -b D -u` as driven by the
+reference's utils/magic_simplify:29-57.  Algorithms follow the miniasm paper's
+published graph-cleaning procedures (tip trimming; radius-bounded superbubble
+popping via the Kahn-style single-sink search) on the bidirected graph of
+tools/gfa.py.  One deliberate improvement over gfatools: bubble path choice is
+coverage-aware (keeps the path maximizing summed KC abundance, then bp length)
+— the reference's main.rs:1139-1141 comment calls gfatools' simplifications
+"naive coverage-oblivious", and presimp exists to compensate; keeping coverage
+here strictly helps.
+
+CLI:  python -m rust_mdbg_tpu gfa-asm in.gfa -t 10,50000 -b 100000 -u -o out.gfa
+Flags apply IN ORDER like gfatools (each -t/-b is one pass).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..utils.seq import revcomp
+from .gfa import Gfa, Segment, _flip
+
+
+def _oriented_seq(seg: Segment, ori: str) -> str | None:
+    if seg.seq is None:
+        return None
+    return seg.seq if ori == "+" else revcomp(seg.seq)
+
+
+def _comp(v):
+    return (v[0], _flip(v[1]))
+
+
+def cut_tips(g: Gfa, max_ext: int, max_bp: int) -> int:
+    """Remove dead-end paths of <= max_ext segments and < max_bp bases that
+    attach to a junction.  Returns number of segments removed.
+
+    Candidates are enumerated against the pass-start graph, then cut
+    shortest-first with live revalidation — so at a Y junction the short
+    erroneous branch goes first and the surviving main line is then no longer
+    a tip.  (gfatools' sequential in-id-order cutting resolves this
+    arbitrarily by segment id; shortest-first is deterministic and strictly
+    safer.)"""
+    arcs = g.adjacency()
+    removed: set[str] = set()
+
+    def walk(v):
+        """Extend a dead-end start; returns (path, bp, attached) vs live graph."""
+        path = [v]
+        bp = g.segments[v[0]].length
+        cur = v
+        attached = False
+        while len(path) <= max_ext:
+            out = [(w, ov) for (w, ov) in arcs.get(cur, [])
+                   if w[0] not in removed]
+            if len(out) != 1:
+                break
+            w, ov = out[0]
+            if w[0] in {p[0] for p in path}:
+                break  # loop
+            w_preds = {
+                u[0] for (u, _o) in arcs.get(_comp(w), [])
+                if u[0] not in removed
+            }
+            if len(w_preds) >= 2:
+                attached = True
+                break
+            path.append(w)
+            bp += max(0, g.segments[w[0]].length - ov)
+            cur = w
+        return path, bp, attached
+
+    candidates = []
+    for name in sorted(g.segments):
+        for o in "+-":
+            v = (name, o)
+            if arcs.get(_comp(v), []):
+                continue  # has predecessors: not a dead-end start
+            path, bp, attached = walk(v)
+            if attached and len(path) <= max_ext and bp < max_bp:
+                candidates.append((bp, len(path), v))
+
+    for _bp, _n, v in sorted(candidates):
+        if v[0] in removed:
+            continue
+        if any(u[0] not in removed for (u, _o) in arcs.get(_comp(v), [])):
+            continue  # no longer a dead-end (shouldn't happen: arcs only shrink)
+        path, bp, attached = walk(v)
+        if attached and len(path) <= max_ext and bp < max_bp:
+            removed |= {p[0] for p in path}
+    g.drop_segments(removed)
+    return len(removed)
+
+
+def pop_bubbles(g: Gfa, max_dist: int) -> int:
+    """One pass of radius-bounded bubble popping from every branching vertex.
+    Returns number of segments removed."""
+    arcs = g.adjacency()
+    removed: set[str] = set()
+
+    def live_arcs(v):
+        return [(w, ov) for (w, ov) in arcs.get(v, []) if w[0] not in removed]
+
+    def weight(name):
+        s = g.segments[name]
+        kc = s.kc()
+        return kc if kc is not None else s.length
+
+    popped = 0
+    for name in sorted(g.segments):
+        for o in "+-":
+            v0 = (name, o)
+            if name in removed or len(live_arcs(v0)) < 2:
+                continue
+            result = _find_bubble(g, v0, max_dist, live_arcs, weight)
+            if result is None:
+                continue
+            visited, keep_path = result
+            drop = {w[0] for w in visited} - {p[0] for p in keep_path} - {v0[0]}
+            if drop:
+                removed |= drop
+                popped += 1
+    g.drop_segments(removed)
+    return len(removed)
+
+
+def _find_bubble(g, v0, max_dist, live_arcs, weight):
+    """Kahn-style single-sink superbubble search from v0 (miniasm alg. 6).
+
+    Returns (visited_vertices, kept_path) or None."""
+    dist = {v0: 0}
+    score = {v0: 0}
+    pred = {}
+    remaining: dict = {}
+    S = [v0]
+    n_pending = 0
+    visited = []
+    steps = 0
+    while S:
+        steps += 1
+        if steps > 10000:
+            return None
+        v = S.pop()
+        out = live_arcs(v)
+        if not out:  # dead end inside the bubble (the sink is never popped)
+            return None
+        for (w, ov) in out:
+            if w == v0 or w == _comp(v0):
+                return None  # loop back to source
+            d = dist[v] + max(1, g.segments[w[0]].length - ov)
+            if d > max_dist:
+                return None
+            sc = score[v] + weight(w[0])
+            if w not in dist:
+                dist[w] = d
+                score[w] = sc
+                pred[w] = v
+                remaining[w] = len(live_arcs(_comp(w)))  # in-degree
+                n_pending += 1
+                visited.append(w)
+            else:
+                if (sc, w) > (score[w], w):
+                    score[w] = sc
+                    pred[w] = v
+                if d < dist[w]:
+                    dist[w] = d
+            remaining[w] -= 1
+            if remaining[w] == 0:
+                S.append(w)
+                n_pending -= 1
+        if len(S) == 1 and n_pending == 0:
+            sink = S[0]
+            path = [sink]
+            cur = sink
+            while cur != v0:
+                cur = pred[cur]
+                path.append(cur)
+            return visited, path
+    return None
+
+
+def unitigs(g: Gfa) -> Gfa:
+    """Condense maximal simple paths into a unitig graph (gfatools -u).
+
+    Output: S utgNNNNNNl with merged sequence (or * + LN), A-lines
+    `A <utg> <offset> <ori> <seg> 0 <len>` (consumed by to_basespace.rs:102-110),
+    and L-lines between unitig extremities.
+    """
+    arcs = g.adjacency()
+
+    def succ(v):
+        return arcs.get(v, [])
+
+    def single_succ(v):
+        out = arcs.get(v, [])
+        return out[0] if len(out) == 1 else None
+
+    used: set[str] = set()
+    paths: list[tuple[list, bool]] = []  # (vertices, circular)
+    for name in sorted(g.segments):
+        if name in used:
+            continue
+        v = (name, "+")
+        # walk backward to the path start
+        start = v
+        seen = {name}
+        circular = False
+        while True:
+            pin = succ(_comp(start))
+            if len(pin) != 1:
+                break
+            u = _comp(pin[0][0])  # unique predecessor
+            if len(succ(u)) != 1:
+                break
+            if u[0] in seen:
+                circular = u == start  # came back around
+                break
+            start = u
+            seen.add(u[0])
+        # walk forward collecting the path
+        path = [start]
+        used.add(start[0])
+        cur = start
+        while True:
+            nx = single_succ(cur)
+            if nx is None:
+                break
+            w, ov = nx
+            if len(succ(_comp(w))) != 1:
+                break
+            if w[0] in used or w[0] == start[0]:
+                break
+            path.append(w)
+            used.add(w[0])
+            cur = w
+        paths.append((path, circular))
+
+    out = Gfa()
+    # vertex -> (utg, ori) maps for link stitching
+    start_of: dict[tuple, tuple] = {}
+    end_of: dict[tuple, tuple] = {}
+    arcs_ov: dict[tuple, int] = {}
+    for v, lst in arcs.items():
+        for (w, ov) in lst:
+            arcs_ov[(v, w)] = ov
+
+    for i, (path, circular) in enumerate(paths):
+        name = f"utg{i + 1:07d}{'c' if circular else 'l'}"
+        segs = [g.segments[v[0]] for v in path]
+        seqs = [_oriented_seq(s, v[1]) for s, v in zip(segs, path)]
+        have_seq = all(s is not None for s in seqs)
+        offs = [0]
+        total = segs[0].length
+        merged = [seqs[0]] if have_seq else None
+        for j in range(1, len(path)):
+            ov = arcs_ov[(path[j - 1], path[j])]
+            ov = min(ov, segs[j].length - 1) if segs[j].length > 0 else 0
+            offs.append(total - ov)
+            total += segs[j].length - ov
+            if have_seq:
+                merged.append(seqs[j][ov:] if ov <= len(seqs[j]) else "")
+        seq = "".join(merged) if have_seq else None
+        out.segments[name] = Segment(name, seq, total if seq is None else len(seq), [])
+        for v, off, s in zip(path, offs, segs):
+            out.a_lines.append((name, off, v[1], v[0], 0, s.length))
+        start_of[path[0]] = (name, "+")
+        start_of[_comp(path[-1])] = (name, "-")
+        end_of[path[-1]] = (name, "+")
+        end_of[_comp(path[0])] = (name, "-")
+
+    emitted = set()
+    for (v, w), ov in sorted(arcs_ov.items()):
+        if v not in end_of or w not in start_of:
+            continue  # interior arc
+        ua, oa = end_of[v]
+        ub, ob = start_of[w]
+        key = (ua, oa, ub, ob)
+        ckey = (ub, _flip(ob), ua, _flip(oa))
+        if key in emitted or ckey in emitted:
+            continue
+        emitted.add(key)
+        out.links.append((ua, oa, ub, ob, ov))
+    return out
+
+
+def main(argv) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="gfa-asm")
+    ap.add_argument("gfa")
+    ap.add_argument("-o", "--out", default="-")
+    ap.add_argument("ops", nargs="*", help="(parsed manually)")
+    # manual in-order parse of -t/-b/-u like gfatools
+    args_in = list(argv)
+    path = None
+    outp = "-"
+    ops = []
+    i = 0
+    while i < len(args_in):
+        a = args_in[i]
+        if a == "-t":
+            i += 1
+            parts = args_in[i].split(",")
+            ops.append(("t", int(parts[0]), int(parts[1]) if len(parts) > 1 else 1 << 62))
+        elif a == "-b":
+            i += 1
+            ops.append(("b", int(args_in[i])))
+        elif a == "-u":
+            ops.append(("u",))
+        elif a in ("-o", "--out"):
+            i += 1
+            outp = args_in[i]
+        else:
+            path = a
+        i += 1
+    if path is None:
+        print("usage: gfa-asm <in.gfa> [-t N,L] [-b D] [-u] [-o out.gfa]",
+              file=sys.stderr)
+        return 2
+    g = Gfa.parse(path)
+    for op in ops:
+        if op[0] == "t":
+            n = cut_tips(g, op[1], op[2])
+            print(f"[gfa-asm] cut {n} tip segments (-t {op[1]},{op[2]})",
+                  file=sys.stderr)
+        elif op[0] == "b":
+            n = pop_bubbles(g, op[1])
+            print(f"[gfa-asm] popped {n} bubble segments (-b {op[1]})",
+                  file=sys.stderr)
+        elif op[0] == "u":
+            g = unitigs(g)
+            print(f"[gfa-asm] {len(g.segments)} unitigs", file=sys.stderr)
+    if outp == "-":
+        import tempfile, os
+
+        fd, tmp = tempfile.mkstemp()
+        os.close(fd)
+        g.write(tmp)
+        sys.stdout.write(open(tmp).read())
+        os.remove(tmp)
+    else:
+        g.write(outp)
+    return 0

@@ -1,0 +1,71 @@
+"""to_basespace + magic_simplify end-to-end on the example dataset.
+
+The example reads are error-free 23kb substrings of dmel chr4 100k-200k, so the
+final contig is checkable: every internal unitig junction must be exactly or
+near-exactly stitched (the reference's cut rule, to_basespace.rs:213-224, is
+approximate in raw space by design — its overlaps are 'very approximately
+calculated'), and the single contig must cover ~97% of the 100kb region.
+"""
+
+import pytest
+
+from rust_mdbg_tpu.core.pipeline import assemble
+from rust_mdbg_tpu.io.fastx import read_records
+from rust_mdbg_tpu.params import Params
+from rust_mdbg_tpu.tools.magic_simplify import magic_simplify
+from rust_mdbg_tpu.utils.seq import revcomp
+
+
+@pytest.fixture(scope="module")
+def simplified(tmp_path_factory):
+    prefix = str(tmp_path_factory.mktemp("tb") / "ex")
+    p = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2, engine="host")
+    assemble("/root/reference/example/reads-0.00.fa.gz", p, prefix)
+    fa = magic_simplify(prefix)
+    return prefix, fa
+
+
+def test_single_contig_covers_region(simplified):
+    prefix, fa = simplified
+    contigs = []
+    cur = []
+    for line in open(fa):
+        if line.startswith(">"):
+            if cur:
+                contigs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(line.strip())
+    contigs.append("".join(cur))
+    assert len(contigs) == 1
+    assert 90000 < len(contigs[0]) < 105000
+
+
+def test_contig_is_near_exact(simplified):
+    """Sliding 500bp windows of the contig must appear verbatim in some read
+    for the overwhelming majority of positions (junction artifacts are rare,
+    bounded-size, and inherent to the reference's cut rule)."""
+    prefix, fa = simplified
+    contig = "".join(
+        l.strip() for l in open(fa) if not l.startswith(">")
+    )
+    reads = [s.decode() for _, s in
+             read_records("/root/reference/example/reads-0.00.fa.gz")]
+    blob = " ".join(reads) + " " + " ".join(revcomp(r) for r in reads)
+    hits = 0
+    total = 0
+    for i in range(0, len(contig) - 500, 997):
+        total += 1
+        if contig[i : i + 500] in blob:
+            hits += 1
+    assert hits / total > 0.80, f"only {hits}/{total} windows exact"
+
+
+def test_msimpl_gfa_has_sequences(simplified):
+    prefix, _ = simplified
+    for line in open(prefix + ".msimpl.gfa"):
+        if line.startswith("S"):
+            v = line.split("\t")
+            assert v[2] != "*" and set(v[2]) <= set("ACGTN")
+            assert "mc:f:" in line  # mean abundance tag (to_basespace.rs:288)
+            break
