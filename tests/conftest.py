@@ -1,6 +1,8 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set env before jax is imported anywhere.
+The axon sitecustomize force-registers the TPU backend and overrides
+JAX_PLATFORMS, so env vars alone are not enough — the jax.config update below
+takes precedence.  Real-TPU runs happen via bench.py / the CLI, not tests.
 """
 
 import os
@@ -16,6 +18,20 @@ import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # XLA_FLAGS fallback above
+
+# persistent compilation cache: repeat test runs skip XLA compiles
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".cache" / "jax"
+_cache.mkdir(parents=True, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 
