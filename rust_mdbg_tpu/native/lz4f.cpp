@@ -189,12 +189,16 @@ int64_t lz4f_compress_frame(const uint8_t* src, int64_t src_len,
     uint8_t desc[2] = {flg, bd};
     *op++ = flg; *op++ = bd;
     *op++ = (uint8_t)(xxh32(desc, 2, 0) >> 8);
+    int stored_streak = 0;  // after 2 incompressible blocks, stop trying
     for (int64_t pos = 0; pos < src_len || (pos == 0 && src_len == 0); pos += BLOCK) {
         int64_t n = src_len - pos;
         if (n > BLOCK) n = BLOCK;
         if (n <= 0) break;
         if (op + 4 + n > oend) return -1;
-        int64_t csz = lz4_compress_block(src + pos, n, op + 4, n - 1 > 0 ? n - 1 : 0);
+        int64_t csz = 0;
+        if (stored_streak < 2)
+            csz = lz4_compress_block(src + pos, n, op + 4, n - 1 > 0 ? n - 1 : 0);
+        if (csz > 0 && csz < n) stored_streak = 0; else stored_streak++;
         uint32_t hdr;
         if (csz > 0 && csz < n) {
             hdr = (uint32_t)csz;

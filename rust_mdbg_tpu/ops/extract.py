@@ -27,7 +27,7 @@ from ..utils.seq import BASE_CODE
 
 
 def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
-                    use_pallas=False):
+                    use_pallas=False, compact_output=False):
     import jax.numpy as jnp
 
     from .hpc import hpc_jax, _scatter2d
@@ -56,21 +56,20 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
         valid = idx[None, :] + l <= hpc_len[:, None]
         sel = (canon <= jnp.uint64(hash_bound)) & valid
 
-    # compact selected minimizers to [B, M]
-    slot = jnp.cumsum(sel.astype(jnp.int32), axis=1) - 1
-    n_min_raw = jnp.where(sel.any(axis=1), slot[:, -1] + 1, 0).astype(jnp.int32)
+    # compact selected minimizers to [B, M] (sort-based: see hpc_jax note)
+    import jax
+
+    n_min_raw = sel.sum(axis=1).astype(jnp.int32)
     overflow = n_min_raw > M
     n_min = jnp.minimum(n_min_raw, M)
-    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, L))
-    keep = sel & (slot < M)
-    minim_hash = _scatter2d(
-        jnp.zeros((B, M), dtype=jnp.uint64), rows,
-        jnp.minimum(slot, M - 1), canon, keep,
-    )
-    minim_pos = _scatter2d(
-        jnp.zeros((B, M), dtype=jnp.int32), rows,
-        jnp.minimum(slot, M - 1), pos_map, keep,
-    )
+    iot = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    skey = jnp.where(sel, iot, jnp.int32(L))
+    _, s_hash, s_pos = jax.lax.sort((skey, canon, pos_map), num_keys=1,
+                                    dimension=1)
+    miot = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+    in_range = miot < n_min[:, None]
+    minim_hash = jnp.where(in_range, s_hash[:, :M], jnp.uint64(0))
+    minim_pos = jnp.where(in_range, s_pos[:, :M], jnp.int32(0))
 
     # k-min-mer windows [B, W, k]
     W = M - k + 1
@@ -89,17 +88,71 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
     end = wpos[..., k - 1] + l
     fp = fingerprint128_jax(canon_vecs)
 
+    if not compact_output:
+        return dict(
+            key_lo=fp[..., 0], key_hi=fp[..., 1], vecs=canon_vecs,
+            reversed_=reversed_, shift0=shift0, shift1=shift1, seqlen=seqlen,
+            start=start, end=end, valid_w=valid_w,
+            minim_hash=minim_hash, minim_pos=minim_pos, n_min=n_min,
+            overflow=overflow,
+        )
+
+    # Compact path: minimize device->host bytes (the axon tunnel runs at tens
+    # of MB/s, so the fetch — not compute — bounds single-chip throughput).
+    # keys:  [B, W, 2] uint64
+    # meta:  [B, W, 4] uint32 = (seqlen, shift0 | valid<<31, shift1 | rev<<31,
+    #        start); end is derivable: end = start + seqlen + l - 2.
+    # vecs / minim arrays stay on device; crossing rows are gathered later.
+    def clean(x):
+        # invalid windows can carry negative deltas (padding positions);
+        # zero them so packed high bits stay trustworthy
+        return jnp.where(valid_w, x, 0).astype(jnp.uint32)
+
+    meta = jnp.stack(
+        [
+            clean(seqlen),
+            clean(shift0) | (valid_w.astype(jnp.uint32) << 31),
+            clean(shift1) | (reversed_.astype(jnp.uint32) << 31),
+            clean(start),
+        ],
+        axis=-1,
+    )
     return dict(
-        key_lo=fp[..., 0], key_hi=fp[..., 1], vecs=canon_vecs,
-        reversed_=reversed_, shift0=shift0, shift1=shift1, seqlen=seqlen,
-        start=start, end=end, valid_w=valid_w,
+        keys=fp, meta=meta, vecs=canon_vecs,
         minim_hash=minim_hash, minim_pos=minim_pos, n_min=n_min,
         overflow=overflow,
     )
 
 
+class CompactWindows:
+    """Valid windows of one batch, fetched with minimal device->host traffic.
+
+    Scalar per-window fields are host numpy arrays; the canonical vectors stay
+    on device until `vecs_for(indices)` gathers just the requested rows (used
+    for the rare abundance-crossing windows)."""
+
+    __slots__ = ("key_lo", "key_hi", "seqlen", "shift0", "shift1", "reversed_",
+                 "read_row", "start", "end", "n_windows", "_dev_vecs",
+                 "_gather", "_win_index")
+
+    def vecs_for(self, indices: np.ndarray) -> np.ndarray:
+        """Canonical minimizer vectors for flattened window positions
+        (indices into this object's arrays)."""
+        if len(indices) == 0:
+            k = self._dev_vecs.shape[-1]
+            return np.zeros((0, k), dtype=np.uint64)
+        flat = self._win_index[indices]
+        # pad to pow2 to bound jit recompiles
+        cap = 1 << max(4, int(np.ceil(np.log2(len(flat)))))
+        padded = np.zeros(cap, dtype=np.int32)
+        padded[: len(flat)] = flat
+        out = np.asarray(self._gather(self._dev_vecs, padded))
+        return out[: len(flat)]
+
+
 class DeviceExtractor:
-    """Engine wrapper: ReadBatch -> WindowBatch via the jitted device fn.
+    """Engine wrapper: ReadBatch -> WindowBatch / CompactWindows via the
+    jitted device fn.
 
     Reads whose minimizer count exceeds the compacted capacity M (rare;
     flagged by the kernel) are re-extracted with the host engine to preserve
@@ -113,19 +166,65 @@ class DeviceExtractor:
         self.use_pallas = use_pallas
         self._fns: dict[tuple, object] = {}
         self._jax = jax
+        self._gather = jax.jit(
+            lambda vecs, idx: vecs.reshape(-1, vecs.shape[-1])[idx]
+        )
 
-    def _fn(self, B, L, M):
-        key = (B, L, M)
+    def _fn(self, B, L, M, compact=False):
+        key = (B, L, M, compact)
         if key not in self._fns:
             p = self.params
             self._fns[key] = self._jax.jit(
                 functools.partial(
                     _device_extract, l=p.l, k=p.k, hash_bound=p.hash_bound,
                     M=M, already_hpc=p.reads_already_hpc,
-                    use_pallas=self.use_pallas,
+                    use_pallas=self.use_pallas, compact_output=compact,
                 )
             )
         return self._fns[key]
+
+    def extract_device(self, codes, lengths):
+        """Raw device-side compact extraction: returns the device dict
+        (keys/meta/vecs/overflow) WITHOUT any host transfer.  Used by the
+        device-resident counter (ops/sort_count.py)."""
+        B, L = codes.shape
+        M = self.capacity(L)
+        return self._fn(B, L, M, compact=True)(codes, lengths)
+
+    def extract_compact(self, batch) -> CompactWindows:
+        """Low-traffic path for the non-EC pipeline (keys+meta only; vectors
+        gathered on demand).  Falls back to the host engine for overflow rows
+        via the full path."""
+        p = self.params
+        B, L = batch.codes.shape
+        M = self.capacity(L)
+        out = self._fn(B, L, M, compact=True)(batch.codes, batch.lengths)
+        overflow = np.asarray(out["overflow"])
+        if overflow.any():
+            # rare: take the exact full path for the whole batch
+            wb = self(batch)
+            return _compact_from_windowbatch(wb)
+        keys = np.asarray(out["keys"])      # [B, W, 2] u64
+        meta = np.asarray(out["meta"])      # [B, W, 4] u32
+        valid = (meta[..., 1] >> 31) > 0
+        rows, wins = np.nonzero(valid)
+        W = valid.shape[1]
+        cw = CompactWindows()
+        cw.key_lo = keys[rows, wins, 0]
+        cw.key_hi = keys[rows, wins, 1]
+        m = meta[rows, wins]
+        cw.seqlen = m[:, 0]
+        cw.shift0 = (m[:, 1] & 0x7FFFFFFF).astype(np.uint16)
+        cw.shift1 = (m[:, 2] & 0x7FFFFFFF).astype(np.uint16)
+        cw.reversed_ = (m[:, 2] >> 31) > 0
+        cw.read_row = rows.astype(np.int32)
+        cw.start = m[:, 3].astype(np.int64)
+        cw.end = cw.start + cw.seqlen.astype(np.int64) + (p.l - 2)
+        cw.n_windows = len(rows)
+        cw._dev_vecs = out["vecs"]
+        cw._gather = self._gather
+        cw._win_index = (rows * W + wins).astype(np.int32)
+        return cw
 
     def capacity(self, L: int) -> int:
         p = self.params
@@ -178,6 +277,32 @@ class DeviceExtractor:
         if overflow_rows.size:
             wb = _merge_host_rows(wb, batch, overflow_rows, p)
         return wb
+
+
+class _HostCompact(CompactWindows):
+    """CompactWindows view over a host WindowBatch (overflow fallback)."""
+
+    __slots__ = ("_host_vecs",)
+
+    def vecs_for(self, indices):
+        return self._host_vecs[np.asarray(indices, dtype=np.int64)]
+
+
+def _compact_from_windowbatch(wb) -> CompactWindows:
+    cw = _HostCompact()
+    cw.key_lo = wb.key_lo
+    cw.key_hi = wb.key_hi
+    cw.seqlen = wb.seqlen.astype(np.uint32)
+    cw.shift0 = wb.shift0
+    cw.shift1 = wb.shift1
+    cw.reversed_ = wb.reversed_
+    cw.read_row = wb.read_row
+    cw.start = wb.start
+    cw.end = wb.end
+    cw.n_windows = len(wb.key_lo)
+    cw._dev_vecs = cw._gather = cw._win_index = None
+    cw._host_vecs = wb.vecs
+    return cw
 
 
 def _merge_host_rows(wb, batch, rows, params):

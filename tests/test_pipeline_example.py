@@ -75,3 +75,35 @@ def test_deterministic(example_run, tmp_path):
     prefix2 = str(tmp_path / "ex2")
     assemble("/root/reference/example/reads-0.00.fa.gz", p, prefix2)
     assert open(prefix + ".gfa").read() == open(prefix2 + ".gfa").read()
+
+
+def test_native_gfa_matches_python(example_run, tmp_path):
+    """C++ gfawriter output is byte-identical to the Python edge builder."""
+    import numpy as np
+
+    from rust_mdbg_tpu.core.graph import build_gfa
+    from rust_mdbg_tpu.io.sequences import iter_sequences
+
+    prefix, _ = example_run
+    recs = sorted(iter_sequences(prefix), key=lambda r: r["index"])
+    varr = np.array([r["minimizers"] for r in recs], dtype=np.uint64)
+    kcs = {}
+    lns = {}
+    for line in open(prefix + ".gfa"):
+        if line.startswith("S"):
+            v = line.split("\t")
+            kcs[int(v[1])] = int(v[4].split(":")[2])
+            lns[int(v[1])] = int(v[3].split(":")[2])
+    nodes = dict(
+        index=np.array([r["index"] for r in recs], dtype=np.uint32),
+        abundance=np.array([kcs[r["index"]] for r in recs], dtype=np.uint32),
+        seqlen=np.array([lns[r["index"]] for r in recs], dtype=np.uint32),
+        shift0=np.array([r["shift"][0] for r in recs], dtype=np.uint16),
+        shift1=np.array([r["shift"][1] for r in recs], dtype=np.uint16),
+    )
+    a = str(tmp_path / "native.gfa")
+    b = str(tmp_path / "python.gfa")
+    ga = build_gfa(a, nodes, varr, presimp=0.01, native=True)
+    gb = build_gfa(b, nodes, varr, presimp=0.01, native=False)
+    assert ga == gb
+    assert open(a).read() == open(b).read()
