@@ -61,7 +61,7 @@ def main():
     # skiphpc: the reference's headline HG002 runs were fed pre-HPC'd reads
     # (README.md:133-135), so the benchmark protocol matches
     p = Params(k=21, l=14, density=0.003, min_kmer_abundance=2,
-               engine="device", batch_reads=128, reads_already_hpc=True)
+               engine="pallas", batch_reads=128, reads_already_hpc=True)
     genome, starts, L = synth_reads()
     B = p.batch_reads
     n_reads = len(starts) - (len(starts) % B)
@@ -80,7 +80,7 @@ def main():
     M = dev.capacity(L)
     W = M - p.k + 1
     counter = DeviceNodeCounter(
-        k=p.k, window_cap=n_batches * B * W, node_cap=1 << 18, minab=2,
+        k=p.k, window_cap=(n_reads // B) * B * W, node_cap=1 << 18, minab=2,
     )
     construct = make_fused_construct(p, B, L, M, n_batches)
 
@@ -102,12 +102,12 @@ def main():
 
     # warmup: compile construct+finalize, establish the transfer channel,
     # then reset the (donated) buffers
-    bufs, n_over = construct(all_codes, all_lengths, counter.buffers)
+    bufs, n_filled, n_over = construct(all_codes, all_lengths, counter.buffers)
     counter.buffers = bufs
     counter.finalize()
 
     t0 = time.perf_counter()
-    bufs, n_over = construct(all_codes, all_lengths, counter.buffers)
+    bufs, n_filled, n_over = construct(all_codes, all_lengths, counter.buffers)
     counter.buffers = bufs
     np.asarray(n_over)  # sync the loop
     t_loop = time.perf_counter() - t0

@@ -45,18 +45,19 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
         hpc_codes, pos_map, hpc_len = hpc_jax(codes, lengths)
 
     # hash + select
-    if use_pallas:
+    if use_pallas and B % 8 == 0 and L % 512 == 0:
         from .pallas_kernels import nthash_select_pallas
 
-        canon, sel = nthash_select_pallas(hpc_codes, l, hash_bound)
-        sel = sel & (idx[None, :] + l <= hpc_len[:, None])
+        canon, sel = nthash_select_pallas(hpc_codes, l, hash_bound, hpc_len)
     else:
         fh, rh = nthash_windows_jax(hpc_codes, l)
         canon = jnp.minimum(fh, rh)
         valid = idx[None, :] + l <= hpc_len[:, None]
         sel = (canon <= jnp.uint64(hash_bound)) & valid
 
-    # compact selected minimizers to [B, M] (sort-based: see hpc_jax note)
+    # compact selected minimizers to [B, M]: sort a 32-bit permutation key
+    # only (u64 payloads through the sorter double its cost), then gather the
+    # M-column prefix
     import jax
 
     n_min_raw = sel.sum(axis=1).astype(jnp.int32)
@@ -64,12 +65,14 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
     n_min = jnp.minimum(n_min_raw, M)
     iot = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     skey = jnp.where(sel, iot, jnp.int32(L))
-    _, s_hash, s_pos = jax.lax.sort((skey, canon, pos_map), num_keys=1,
-                                    dimension=1)
+    _, perm = jax.lax.sort((skey, iot), num_keys=1, dimension=1)
+    perm_m = perm[:, :M]
     miot = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
     in_range = miot < n_min[:, None]
-    minim_hash = jnp.where(in_range, s_hash[:, :M], jnp.uint64(0))
-    minim_pos = jnp.where(in_range, s_pos[:, :M], jnp.int32(0))
+    minim_hash = jnp.where(in_range, jnp.take_along_axis(canon, perm_m, axis=1),
+                           jnp.uint64(0))
+    minim_pos = jnp.where(in_range, jnp.take_along_axis(pos_map, perm_m, axis=1),
+                          jnp.int32(0))
 
     # k-min-mer windows [B, W, k]
     W = M - k + 1
@@ -159,10 +162,12 @@ class DeviceExtractor:
     exactness.
     """
 
-    def __init__(self, params, use_pallas: bool = False):
+    def __init__(self, params, use_pallas: bool | None = None):
         import jax
 
         self.params = params
+        if use_pallas is None:
+            use_pallas = params.engine == "pallas"
         self.use_pallas = use_pallas
         self._fns: dict[tuple, object] = {}
         self._jax = jax

@@ -32,17 +32,18 @@ def _append(buffers, offset, keys, meta, vecs, read_base):
     import jax.numpy as jnp
 
     b_keys, b_meta, b_vecs = buffers
+    offset = jnp.asarray(offset).astype(jnp.int32)
     B, W, _ = keys.shape
     flat_keys = keys.reshape(B * W, 2)
     rows = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.uint32)[:, None], (B, W)
     ).reshape(B * W, 1) + read_base
     flat_meta = jnp.concatenate([meta.reshape(B * W, 4), rows], axis=1)
-    b_keys = jax.lax.dynamic_update_slice(b_keys, flat_keys, (offset, 0))
-    b_meta = jax.lax.dynamic_update_slice(b_meta, flat_meta, (offset, 0))
+    b_keys = jax.lax.dynamic_update_slice(b_keys, flat_keys, (offset, jnp.int32(0)))
+    b_meta = jax.lax.dynamic_update_slice(b_meta, flat_meta, (offset, jnp.int32(0)))
     if b_vecs is not None:
         b_vecs = jax.lax.dynamic_update_slice(
-            b_vecs, vecs.reshape(B * W, vecs.shape[-1]), (offset, 0)
+            b_vecs, vecs.reshape(B * W, vecs.shape[-1]), (offset, jnp.int32(0))
         )
     return (b_keys, b_meta, b_vecs)
 
@@ -138,7 +139,8 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int):
 
     W = M - params.k + 1
     ek = dict(l=params.l, k=params.k, hash_bound=params.hash_bound, M=M,
-              already_hpc=params.reads_already_hpc, compact_output=True)
+              already_hpc=params.reads_already_hpc, compact_output=True,
+              use_pallas=(params.engine == "pallas"))
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def construct(all_codes, all_lengths, buffers):
@@ -152,7 +154,10 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int):
                            (i * B).astype(jnp.uint32))
             return bufs, n_over + out["overflow"].sum().astype(jnp.int32)
 
-        return jax.lax.fori_loop(0, n_batches, body, (buffers, jnp.int32(0)))
+        bufs, n_over = jax.lax.fori_loop(
+            0, n_batches, body, (buffers, jnp.int32(0))
+        )
+        return bufs, jnp.int32(n_batches * B * W), n_over
 
     return construct
 
