@@ -1,0 +1,233 @@
+"""Minimizer-space error correction with POA consensus.
+
+Driver parity with the reference's EC path:
+
+- `dist`: Jaccard / containment / Mash distance between reads in minimizer
+  space (/root/reference/src/minimizers.rs:22-42)
+- `poa_correct`: bucket lookup by n-consecutive-minimizer normalized tuples,
+  recruitment below distance 0.15, candidate cap 80, fwd+rev semiglobal POA
+  alignment with the better direction re-aligned and woven into the graph,
+  heaviest-path consensus, template-boundary trim, consensus labeling up to
+  correction_threshold (/root/reference/src/read.rs:414-557)
+- `run_error_correction`: chunked pass over the .ec_data records writing
+  `.postcor.ec_data` and `.poa.ec_data` (main.rs:846-897)
+- `reingest_postcor`: rebuild the node table from corrected reads, with
+  read_to_kmers seqlen semantics (true slice length, read.rs:358-413) and
+  single-writer .sequences emission (main.rs:903-914)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..io import ec_data
+from ..io.sequences import SequencesWriter
+from ..utils.seq import normalize_vec, revcomp
+from .poa import PoaGraph, consensus_boundary
+
+DIST_THRESHOLD = 0.15
+MAX_POA_READS = 80
+
+
+def dist(a_transformed, b_transformed, params) -> float:
+    s1 = set(a_transformed)
+    s2 = set(b_transformed)
+    inter = len(s1 & s2)
+    union = len(s1 | s2)
+    if params.distance == 0:
+        return 1.0 - inter / union
+    if params.distance == 1:
+        return 1.0 - inter / len(s1)
+    jac = inter / union
+    if jac == 0.0:
+        return float("inf")
+    return -1.0 * math.log((2.0 * jac) / (1.0 + jac)) / params.l
+
+
+class EcRead:
+    __slots__ = ("id", "seq", "transformed", "pos", "corrected")
+
+    def __init__(self, rid, seq, transformed, pos):
+        self.id = rid
+        self.seq = seq
+        self.transformed = [int(x) for x in transformed]
+        self.pos = [int(x) for x in pos]
+        self.corrected = False
+
+
+def poa_correct(read: EcRead, int_to_minimizer, buckets, params, corrected_map,
+                reads_by_id, poa_map):
+    n = params.n
+    template = read.transformed
+    graph = PoaGraph(template, read.seq, read.pos)
+
+    # recruit bucket-mates sharing an n-tuple (read.rs:437-448)
+    added = {read.id}
+    bucket_reads: list[EcRead] = []
+    for i in range(len(template) - n + 1):
+        key = normalize_vec(template[i : i + n])
+        for rid in buckets.get(key, ()):  # noqa: B905
+            q = reads_by_id[rid]
+            if q.id not in added:
+                bucket_reads.append(q)
+                added.add(q.id)
+
+    # distance filter + sort + cap (read.rs:450-456)
+    with_dist = [
+        (q, dist(template, q.transformed, params)) for q in bucket_reads
+    ]
+    with_dist = [t for t in with_dist if t[1] < DIST_THRESHOLD]
+    with_dist.sort(key=lambda t: t[1])
+    with_dist = with_dist[:MAX_POA_READS]
+
+    poa_ids = []
+    for q, _d in with_dist:
+        poa_ids.append(q.id)
+        fwd = graph.semiglobal(q.transformed)
+        rev_t = q.transformed[::-1]
+        rev_seq = revcomp(q.seq)
+        rev_pos = [len(q.seq) - params.l - p for p in q.pos[::-1]]
+        bwd = graph.semiglobal(rev_t)
+        if fwd.score > bwd.score:
+            aln = graph.semiglobal(q.transformed)
+            graph.add_alignment(aln, q.transformed, q.seq, q.pos)
+        else:
+            aln = graph.semiglobal(rev_t)
+            graph.add_alignment(aln, rev_t, rev_seq, rev_pos)
+
+    cns, cns_es = graph.consensus(params.t)
+    cns, cns_es = consensus_boundary(cns, cns_es, template)
+    if not cns:
+        return None
+    consensus_read = [int_to_minimizer[m] for m in cns] if int_to_minimizer \
+        else ["" for _ in cns]
+    cns_str = ""
+    cns_pos = []
+    idx = 0
+    for insert in cns_es:
+        cns_pos.append(idx)
+        cns_str += insert
+        idx += len(insert)
+    cns_pos.append(idx)
+    cns_str += int_to_minimizer[cns[-1]] if int_to_minimizer else ""
+
+    threshold = params.correction_threshold
+    corrected_count = 0
+    for q, _d in with_dist:
+        if corrected_count >= threshold:
+            break
+        if not q.corrected:
+            corrected_map[q.id] = (cns_str, consensus_read, cns_pos, cns)
+            corrected_count += 1
+    poa_map[read.id] = poa_ids
+    read.seq = cns_str
+    read.pos = cns_pos
+    read.transformed = [int(x) for x in cns]
+    read.corrected = True
+    return read
+
+
+def run_error_correction(prefix, params, int_to_minimizer, buckets,
+                         reads_by_id_raw):
+    """Correct all reads from prefix.ec_data; write .postcor/.poa files."""
+    records = ec_data.load(prefix)
+    reads_by_id = {
+        rid: EcRead(rid, r["seq"], r["transformed"], r["pos"])
+        for rid, r in reads_by_id_raw.items()
+    }
+    postcor = ec_data.EcWriter(f"{prefix}.postcor")
+    poa_file = ec_data.EcWriter(f"{prefix}.poa")
+    corrected_map: dict = {}
+    poa_map: dict = {}
+    for rec in records:
+        if rec.seq_id in corrected_map:
+            continue
+        read = EcRead(rec.seq_id, rec.seq_str, rec.read_transformed,
+                      rec.read_minimizers_pos)
+        out = poa_correct(read, int_to_minimizer, buckets, params,
+                          corrected_map, reads_by_id, poa_map)
+        if out is None:
+            continue
+        postcor.record(out.id, out.seq, out.transformed,
+                       [int_to_minimizer.get(x, "") for x in out.transformed]
+                       if int_to_minimizer else [],
+                       out.pos)
+    for temp, ids in poa_map.items():
+        poa_file.record_poa(temp, ids)
+    postcor.flush()
+    postcor.close()
+    poa_file.flush()
+    poa_file.close()
+
+
+def read_to_kmers_postcor(read: EcRead, params):
+    """read_to_kmers over a corrected read (read.rs:358-413): seqlen is the
+    TRUE slice length here, unlike the main path's approximation."""
+    from ..ops.kminmer import window_kminmers_np
+
+    k, l = params.k, params.l
+    pos = np.asarray(read.pos, dtype=np.int64)
+    hashes = np.asarray(read.transformed, dtype=np.uint64)
+    out = []
+    for w in window_kminmers_np(pos, hashes, k, l):
+        seq = read.seq[w["start"] : w["end"]]
+        if w["reversed"]:
+            seq = revcomp(seq)
+        w = dict(w)
+        w["seq"] = seq
+        w["seqlen"] = len(seq)
+        out.append(w)
+    return out
+
+
+def reingest_postcor(prefix, params, table, seq_writer):
+    """Rebuild the mdBG from prefix.postcor.ec_data (main.rs:903-914)."""
+    from ..ops.kminmer import fingerprint128_np
+
+    records = ec_data.load(f"{prefix}.postcor")
+    if seq_writer is None:
+        seq_writer = SequencesWriter(prefix, 0, params.k, params.l)
+    for rec in records:
+        read = EcRead(rec.seq_id, rec.seq_str, rec.read_transformed,
+                      rec.read_minimizers_pos)
+        if len(read.transformed) <= params.k:
+            continue
+        windows = read_to_kmers_postcor(read, params)
+        if not windows:
+            continue
+        vecs = np.asarray([w["vec"] for w in windows], dtype=np.uint64)
+        fp = fingerprint128_np(vecs)
+        flags, index = table.add_batch(
+            fp[:, 0], fp[:, 1],
+            np.asarray([w["seqlen"] for w in windows], dtype=np.uint32),
+            np.asarray([w["shift"][0] for w in windows], dtype=np.uint16),
+            np.asarray([w["shift"][1] for w in windows], dtype=np.uint16),
+        )
+        for j in np.nonzero(flags)[0]:
+            idx = int(index[j])
+            table.vectors[idx] = vecs[j].copy()
+            if not params.no_basespace:
+                w = windows[j]
+                seq_writer.record(idx, w["vec"], w["seq"], "*", w["shift"])
+    return seq_writer
+
+
+def assemble_from_postcor(params, prefix):
+    """--restart-from-postcor: skip extraction+correction (main.rs:338,903-914)."""
+    from ..core.graph import build_gfa
+    from ..core.nodetable import NodeTable
+    from ..io.sequences import remove_stale
+
+    remove_stale(prefix)
+    table = NodeTable(min_abundance=params.min_kmer_abundance)
+    writer = reingest_postcor(prefix, params, table, None)
+    writer.close()
+    stats = {"nb_reads": 0, "nb_nodes_prefilter": len(table)}
+    if params.min_kmer_abundance > 1:
+        table.retain(params.min_kmer_abundance)
+    nodes = table.dump()
+    stats.update(build_gfa(f"{prefix}.gfa", nodes, table.vectors,
+                           presimp=params.presimp))
+    return stats

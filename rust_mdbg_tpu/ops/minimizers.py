@@ -230,6 +230,11 @@ def minimizers_preparation(params, lmer_counts: dict[str, int]):
             if cnt >= params.lmer_counts_max or cnt <= params.lmer_counts_min:
                 skip.add(x)
                 skip.add(revcomp(x))
+    elif l > 8:
+        # vectorized enumeration: 4^l l-mers is millions of strings; compute
+        # canonical hashes in numpy chunks and materialize strings only for
+        # the ~density * 4^l selected ones
+        return _minimizers_preparation_dense(params)
     else:
         for tup in itertools.product("ACTG", repeat=l):
             lmer = "".join(tup)
@@ -253,3 +258,61 @@ def minimizers_preparation(params, lmer_counts: dict[str, int]):
             minimizer_to_int[lmer_rev] = hash_
             int_to_minimizer[hash_] = lmer_rev
     return minimizer_to_int, int_to_minimizer, skips
+
+
+def _minimizers_preparation_dense(params):
+    """All-4^l enumeration, vectorized (semantics of minimizers.rs:53-113
+    with no lmer counts: canonical l-mers whose ntHash/u64::MAX <= density).
+
+    int_to_minimizer maps hash -> revcomp(canonical l-mer), matching the
+    reference's double-insert order (minimizers.rs:100-106: the revcomp
+    insert wins)."""
+    from .nthash import H_BY_CODE, RC_BY_CODE
+    from ..utils.seq import decode_bases, revcomp
+
+    l = params.l
+    total = 4 ** l
+    chunk = 1 << 20
+    minimizer_to_int: dict[str, int] = {}
+    int_to_minimizer: dict[int, str] = {}
+    comp = np.array([3, 2, 1, 0], dtype=np.uint8)  # complement in code space
+    u64max = 18446744073709551615.0
+    for start in range(0, total, chunk):
+        ids = np.arange(start, min(start + chunk, total), dtype=np.uint64)
+        codes = np.empty((len(ids), l), dtype=np.uint8)
+        v = ids.copy()
+        for j in range(l - 1, -1, -1):
+            codes[:, j] = (v % np.uint64(4)).astype(np.uint8)
+            v //= np.uint64(4)
+        rc = comp[codes[:, ::-1]]
+        # canonical filter: lmer <= revcomp(lmer); base chars A<C<G<T sort
+        # exactly like codes 0..3
+        diff = codes != rc
+        first = diff.argmax(axis=1)
+        r_idx = np.arange(len(ids))
+        is_canon = np.where(
+            diff.any(axis=1), codes[r_idx, first] < rc[r_idx, first], True
+        )
+        h = np.zeros(len(ids), dtype=np.uint64)
+        hr = np.zeros(len(ids), dtype=np.uint64)
+        for j in range(l):
+            hj = H_BY_CODE[codes[:, j]]
+            rj = RC_BY_CODE[codes[:, j]]
+            r1 = (l - 1 - j) % 64
+            if r1:
+                hj = (hj << np.uint64(r1)) | (hj >> np.uint64(64 - r1))
+            h ^= hj
+            if j:
+                rj = (rj << np.uint64(j)) | (rj >> np.uint64(64 - j))
+            hr ^= rj
+        canon_hash = np.minimum(h, hr)
+        sel = is_canon & ((canon_hash.astype(np.float64) / u64max)
+                          <= params.density)
+        for i in np.nonzero(sel)[0]:
+            lmer = decode_bases(codes[i])
+            hv = int(canon_hash[i])
+            lrev = revcomp(lmer)
+            minimizer_to_int[lmer] = hv
+            minimizer_to_int[lrev] = hv
+            int_to_minimizer[hv] = lrev
+    return minimizer_to_int, int_to_minimizer, 0

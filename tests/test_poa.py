@@ -1,0 +1,104 @@
+"""POA graph aligner, pairwise aligner, and the EC driver."""
+
+import numpy as np
+import pytest
+
+from rust_mdbg_tpu.models import pairwise
+from rust_mdbg_tpu.models.poa import PoaGraph, consensus_boundary
+from rust_mdbg_tpu.params import Params
+
+
+def score(a, b):
+    return 1 if a == b else -1
+
+
+def test_pairwise_semiglobal_substring():
+    x = [5, 6, 7]
+    y = [1, 2, 5, 6, 7, 3]
+    a = pairwise.Aligner.with_capacity(len(x), len(y), -1, -1, score)
+    aln = a.semiglobal(x, y)
+    assert aln.score == 3
+    assert (aln.ystart, aln.yend) == (2, 5)
+    assert aln.operations == ["Match", "Match", "Match"]
+
+
+def test_pairwise_semiglobal_with_mismatch_and_gap():
+    x = [1, 2, 3, 4]
+    y = [9, 1, 2, 9, 3, 4, 9]
+    a = pairwise.Aligner.with_capacity(len(x), len(y), -1, -1, score)
+    aln = a.semiglobal(x, y)
+    # match,match,(gap in x over the 9),match,match = 4 - 2 = 2
+    assert aln.score == 2
+    assert (aln.ystart, aln.yend) == (1, 6)
+
+
+def _mk_graph(template, spacing=10):
+    seq = "A" * (spacing * len(template) + spacing)
+    pos = [i * spacing for i in range(len(template))]
+    return PoaGraph(template, seq, pos)
+
+
+def test_poa_identical_query_bumps_weights():
+    t = [10, 20, 30, 40]
+    g = _mk_graph(t)
+    aln = g.semiglobal(t)
+    assert aln.score == 4
+    g.add_alignment(aln, t, "A" * 50, [0, 10, 20, 30])
+    # all template edges now weight 2, no new nodes
+    assert len(g.weights) == 4
+    assert all(g.edges[(i, i + 1)][0] == 2 for i in range(3))
+    cns, es = g.consensus(0)
+    assert cns == t
+    assert len(es) == 3
+
+
+def test_poa_consensus_prefers_majority():
+    t = [10, 20, 30, 40, 50]
+    g = _mk_graph(t)
+    variant = [10, 20, 99, 40, 50]
+    seqv = "C" * 60
+    posv = [0, 10, 20, 30, 40]
+    for q in (t, t, variant):
+        aln = g.semiglobal(q)
+        g.add_alignment(aln, q, seqv, posv)
+    cns, _ = g.consensus(0)
+    assert cns == t  # majority path wins over the 99 variant
+
+
+def test_consensus_boundary_trims_to_template():
+    cns = [1, 2, 3, 4, 5, 6, 7]
+    es = [f"e{i}" for i in range(6)]
+    orig = [3, 4, 5]
+    c2, e2 = consensus_boundary(cns, es, orig)
+    assert c2 == [3, 4, 5]
+    assert e2 == ["e2", "e3"]
+
+
+def test_ec_end_to_end(tmp_path):
+    """Pipeline with --error-correct on noisy synthetic reads."""
+    from rust_mdbg_tpu.core.pipeline import assemble
+
+    rng = np.random.default_rng(5)
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, 20000))
+    reads_path = tmp_path / "noisy.fa"
+    with open(reads_path, "w") as f:
+        for i in range(60):
+            start = int(rng.integers(0, 20000 - 3000))
+            read = list(genome[start : start + 3000])
+            # ~1% substitution errors
+            for _ in range(30):
+                p = int(rng.integers(0, len(read)))
+                read[p] = "ACGT"[int(rng.integers(0, 4))]
+            f.write(f">r{i}\n{''.join(read)}\n")
+    p = Params(k=4, l=8, density=0.05, min_kmer_abundance=2,
+               error_correct=True, engine="host", n=2)
+    prefix = str(tmp_path / "ec")
+    stats = assemble(str(reads_path), p, prefix)
+    assert stats["nb_reads"] == 60
+    assert (tmp_path / "ec.postcor.ec_data").exists()
+    assert (tmp_path / "ec.poa.ec_data").exists()
+    assert stats["nb_nodes"] > 0
+    # corrected reads should yield a cleaner graph than raw minabund-2 would:
+    # at least assert the gfa exists and has edges
+    gfa = open(prefix + ".gfa").read()
+    assert gfa.count("\nL\t") > 0
