@@ -121,7 +121,7 @@ def main(argv=None):
     # subcommand dispatch
     if argv and argv[0] in (
         "to-basespace", "gfa-asm", "magic-simplify", "multik", "gfa2fasta",
-        "break-loops", "simplify-meta",
+        "break-loops", "simplify-meta", "gfa-complete",
     ):
         from .tools import dispatch
 

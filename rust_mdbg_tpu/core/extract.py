@@ -44,24 +44,36 @@ class WindowBatch:
 def extract_minimizers_host(codes: np.ndarray, params, minimizer_to_int=None,
                             uhs_filter=None, lcp_filter=None):
     """Scheme dispatch for one read (Read::extract, read.rs:85-90)."""
+    remap = (
+        minimizer_to_int
+        if (params.error_correct or params.has_lmer_counts)
+        else None
+    )
+    if params.uhs and uhs_filter is not None:
+        from ..ops.minimizers import extract_filtered_np
+
+        return extract_filtered_np(
+            codes, params.l, params.hash_bound, uhs_filter,
+            already_hpc=params.reads_already_hpc, minimizer_to_int=remap,
+        )
+    if params.lcp and lcp_filter is not None:
+        from ..ops.minimizers import extract_filtered_np
+
+        return extract_filtered_np(
+            codes, params.l, params.hash_bound, lcp_filter,
+            already_hpc=params.reads_already_hpc, minimizer_to_int=remap,
+            skip_n=True,
+        )
     if params.use_syncmers:
         return extract_syncmers_np(
             codes, params.l, params.s, params.syncmer_hash_bound,
             already_hpc=params.reads_already_hpc,
         )
-    pos, hashes = extract_density_np(
+    return extract_density_np(
         codes, params.l, params.hash_bound,
         already_hpc=params.reads_already_hpc,
-        minimizer_to_int=(
-            minimizer_to_int
-            if (params.error_correct or params.has_lmer_counts)
-            else None
-        ),
+        minimizer_to_int=remap,
     )
-    if params.uhs and uhs_filter is not None:
-        keep = np.array([uhs_filter.check_and_add(int(h)) for h in hashes], dtype=bool)
-        pos, hashes = pos[keep], hashes[keep]
-    return pos, hashes
 
 
 def extract_windows_host(batch, params, minimizer_to_int=None,

@@ -63,6 +63,16 @@ def assemble(reads_path: str, params: Params, prefix: str,
             params, lmer_counts
         )
 
+    uhs_filter = lcp_filter = None
+    if params.uhs and getattr(params, "_uhs_path", None):
+        from ..models.schemes import uhs_preparation
+
+        uhs_filter = uhs_preparation(params, params._uhs_path)
+    if params.lcp and getattr(params, "_lcp_path", None):
+        from ..models.schemes import lcp_preparation
+
+        lcp_filter = lcp_preparation(params, params._lcp_path)
+
     remove_stale(prefix)
 
     table = NodeTable(
@@ -100,10 +110,18 @@ def assemble(reads_path: str, params: Params, prefix: str,
                 wb = device_extract(batch)
                 get_vecs = lambda idx: wb.vecs[idx]  # noqa: E731
             else:
-                wb = extract_windows_host(batch, params, minimizer_to_int)
+                wb = extract_windows_host(batch, params, minimizer_to_int,
+                                          uhs_filter, lcp_filter)
                 get_vecs = lambda idx: wb.vecs[idx]  # noqa: E731
             nb_reads += batch.n_reads
             nb_windows += wb.n_windows
+            if params.debug and wb.minimizers:
+                # per-read minimizer-space representation (the reference's
+                # debug display, main.rs:802-807 / Opt doc main.rs:239-244)
+                for row, m in enumerate(wb.minimizers):
+                    if m is not None and batch.ids[row]:
+                        print(batch.ids[row],
+                              " ".join(str(int(x)) for x in m[1]))
             flags, index = table.add_batch(
                 wb.key_lo, wb.key_hi, wb.seqlen, wb.shift0, wb.shift1
             )

@@ -316,3 +316,44 @@ def _minimizers_preparation_dense(params):
             minimizer_to_int[lrev] = hv
             int_to_minimizer[hv] = lrev
     return minimizer_to_int, int_to_minimizer, 0
+
+
+def extract_filtered_np(
+    codes: np.ndarray,
+    l: int,
+    hash_bound: int,
+    filter_,
+    already_hpc: bool = False,
+    minimizer_to_int: dict | None = None,
+    skip_n: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """UHS / LCP selection (read.rs:125-156 / 93-124): density rule AND a
+    check_and_add filter.  Faithful quirk: positions are HPC-space indices
+    (the reference pushes `i` directly, not the raw-position map — read.rs:
+    119-120, 151-152).  `skip_n` mirrors extract_lcp's contains('N') skip."""
+    from ..utils.seq import decode_bases
+
+    if already_hpc:
+        hpc = codes
+    else:
+        hpc, _ = encode_rle_np(codes)
+    if hpc.shape[0] < l:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    fh, rh = nthash_windows_np(hpc, l)
+    canon = np.minimum(fh, rh)
+    sel = np.nonzero(canon <= np.uint64(hash_bound))[0]
+    out_pos, out_hash = [], []
+    for i in sel:
+        if skip_n and (hpc[i : i + l] >= 4).any():
+            continue
+        h = int(canon[i])
+        if minimizer_to_int is not None:
+            v = minimizer_to_int.get(decode_bases(hpc[i : i + l]))
+            if v is None:
+                continue
+            h = v
+        if filter_.check_and_add(h):
+            out_pos.append(int(i))
+            out_hash.append(h)
+    return (np.asarray(out_pos, dtype=np.int64),
+            np.asarray(out_hash, dtype=np.uint64))

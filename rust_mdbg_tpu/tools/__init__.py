@@ -31,6 +31,10 @@ def dispatch(name: str, argv: list[str]) -> int:
         from .gfa2fasta import main
 
         return main(argv)
+    if name == "gfa-complete":
+        from .complete_gfa import main
+
+        return main(argv)
     if name == "break-loops":
         from .gfa_break_loops import main
 
