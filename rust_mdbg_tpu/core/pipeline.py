@@ -50,6 +50,15 @@ def assemble(reads_path: str, params: Params, prefix: str,
     timer = PhaseTimer()
     stats: dict = {}
 
+    if _device_table_eligible(params, read_stats_path):
+        try:
+            return assemble_device_table(reads_path, params, prefix, timer,
+                                         stats)
+        except RuntimeError as e:
+            print(f"[device-table] falling back to streaming path: {e}")
+            timer = PhaseTimer()
+            stats = {}
+
     # --- parameter-dependent preparation ---------------------------------
     minimizer_to_int = None
     int_to_minimizer = None
@@ -210,6 +219,140 @@ def assemble(reads_path: str, params: Params, prefix: str,
     stats.update(g)
     stats["phases"] = timer.report()
     return stats
+
+
+def _device_table_eligible(params: Params, read_stats_path) -> bool:
+    return (
+        params.engine in ("auto", "device", "pallas")
+        and not params.error_correct
+        and not params.reference
+        and not (params.uhs or params.lcp or params.use_syncmers
+                 or params.has_lmer_counts)
+        and read_stats_path is None
+    )
+
+
+def assemble_device_table(reads_path: str, params: Params, prefix: str,
+                          timer: PhaseTimer, stats: dict) -> dict:
+    """Fully device-resident construction (the bench path, wired to real
+    input): chunked H2D staging, one fused construct dispatch per chunk,
+    single sort/segment-reduce finalize, native .sequences + GFA writers.
+
+    Raw read bytes are kept in memory for crossing-sequence extraction
+    (fine to a few Gbp; the chunked host-merge path covers larger inputs).
+    """
+    import jax
+
+    from ..io.sequences import write_records_native
+    from ..ops.extract import DeviceExtractor
+    from ..ops.sort_count import DeviceNodeCounter, make_fused_construct
+
+    mean_len, mx = fastx.read_first_n_reads(reads_path, 100)
+    L = params.max_read_len or max(1024, ((2 * mx + 511) // 512) * 512)
+    B = params.batch_reads
+    CHUNK_BATCHES = 16
+    dev = DeviceExtractor(params)
+    M = dev.capacity(L)
+    W = M - params.k + 1
+
+    import os as _os
+
+    fsize = _os.path.getsize(reads_path)
+    est_reads = max(1024, int(3.0 * fsize / max(1, mean_len)))
+    window_cap = ((est_reads + B - 1) // B) * B * W
+    counter = DeviceNodeCounter(
+        k=params.k, window_cap=window_cap, node_cap=1 << 22,
+        minab=params.min_kmer_abundance,
+    )
+    construct = make_fused_construct(params, B, L, M, CHUNK_BATCHES)
+
+    remove_stale(prefix)
+    raw_reads: list[bytes] = []
+    nb_reads = 0
+    window_base = 0
+    read_base = 0
+    n_over_acc = []
+
+    chunk_codes = np.full((CHUNK_BATCHES * B, L), 5, dtype=np.uint8)
+    chunk_len = np.zeros(CHUNK_BATCHES * B, dtype=np.int32)
+    fill = 0
+
+    def flush_chunk():
+        nonlocal window_base, read_base, fill
+        if fill == 0:
+            return
+        chunk_len[fill:] = 0
+        bufs, _n, n_over = construct(
+            jax.device_put(chunk_codes), jax.device_put(chunk_len),
+            counter.buffers, window_base, read_base,
+        )
+        counter.buffers = bufs
+        n_over_acc.append(n_over)
+        window_base += CHUNK_BATCHES * B * W
+        read_base += CHUNK_BATCHES * B
+        fill = 0
+
+    with timer.phase("extract+count(device)"):
+        for batch in fastx.batches(reads_path, B, L):
+            n = batch.codes.shape[0]
+            if n != B:  # overflow long-read batch: host path not supported here
+                raise RuntimeError("read longer than staging width")
+            if window_base + (fill // B + CHUNK_BATCHES) * B * W > counter.window_cap:
+                raise RuntimeError("window capacity exceeded; use --engine host")
+            chunk_codes[fill : fill + n] = batch.codes
+            chunk_len[fill : fill + n] = batch.lengths
+            raw_reads.extend(batch.raw)
+            nb_reads += batch.n_reads
+            fill += n
+            if fill == CHUNK_BATCHES * B:
+                flush_chunk()
+        flush_chunk()
+        res = counter.finalize()
+        n_over = sum(int(np.asarray(x)) for x in n_over_acc)
+        if n_over:
+            raise RuntimeError(
+                f"{n_over} reads overflowed minimizer capacity; "
+                "use --engine host"
+            )
+
+    stats["nb_reads"] = nb_reads
+    stats["nb_windows"] = int(res["count"].sum())
+    meta = res["meta"]
+    with timer.phase("sequences"):
+        if not params.no_basespace and len(res["index"]):
+            seqlen_a = meta[:, 0].astype(np.int64)
+            start_a = meta[:, 3].astype(np.int64)
+            read_g = meta[:, 4].astype(np.int64)
+            offsets = np.zeros(len(raw_reads) + 1, dtype=np.int64)
+            np.cumsum([len(r) for r in raw_reads], out=offsets[1:])
+            blob = b"".join(raw_reads)
+            abs_start = offsets[read_g] + start_a
+            abs_end = abs_start + seqlen_a + (params.l - 2)
+            write_records_native(
+                sequences_path_for(prefix), params.k, params.l,
+                res["index"], res["vec"], np.frombuffer(blob, dtype=np.uint8),
+                abs_start, abs_end, (meta[:, 2] >> 31).astype(np.uint8),
+                (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16),
+                (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16),
+            )
+    with timer.phase("gfa"):
+        nodes = dict(
+            index=res["index"], abundance=res["count"],
+            seqlen=meta[:, 0].astype(np.uint32),
+            shift0=(meta[:, 1] & 0x7FFFFFFF).astype(np.uint16),
+            shift1=(meta[:, 2] & 0x7FFFFFFF).astype(np.uint16),
+        )
+        g = build_gfa(f"{prefix}.gfa", nodes, res.get("vec"),
+                      presimp=params.presimp)
+    stats.update(g)
+    stats["phases"] = timer.report()
+    return stats
+
+
+def sequences_path_for(prefix: str) -> str:
+    from ..io.sequences import sequences_path
+
+    return sequences_path(prefix, 0)
 
 
 def load_lmer_counts(path: str) -> dict[str, int]:

@@ -59,6 +59,7 @@ def _finalize(b_keys, b_meta, b_vecs, *, minab, node_cap, keep_all):
     import jax.numpy as jnp
 
     N = b_keys.shape[0]
+    node_cap = min(node_cap, N - 1)  # slices below need node_cap + 1 <= N
     valid = (b_meta[:, 1] >> 31) > 0
     # invalid windows sink to the end as (MAX, MAX); a real fingerprint equal
     # to that value has probability 2^-128
@@ -143,15 +144,21 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int):
               use_pallas=(params.engine == "pallas"))
 
     @functools.partial(jax.jit, donate_argnums=(2,))
-    def construct(all_codes, all_lengths, buffers):
+    def construct(all_codes, all_lengths, buffers, window_base=0, read_base=0):
+        """window_base/read_base: running offsets for chunked streaming (the
+        CLI pipeline feeds the input in chunks; bench stages it whole)."""
+        window_base = jnp.asarray(window_base).astype(jnp.int32)
+        read_base = jnp.asarray(read_base).astype(jnp.uint32)
+
         def body(i, carry):
             bufs, n_over = carry
             codes = jax.lax.dynamic_slice(all_codes, (i * B, 0), (B, L))
             lengths = jax.lax.dynamic_slice(all_lengths, (i * B,), (B,))
             out = _device_extract(codes, lengths, **ek)
-            bufs = _append(bufs, i * (B * W), out["keys"], out["meta"],
+            bufs = _append(bufs, window_base + i * (B * W),
+                           out["keys"], out["meta"],
                            out["vecs"] if bufs[2] is not None else None,
-                           (i * B).astype(jnp.uint32))
+                           read_base + (i * B).astype(jnp.uint32))
             return bufs, n_over + out["overflow"].sum().astype(jnp.int32)
 
         bufs, n_over = jax.lax.fori_loop(

@@ -1,0 +1,97 @@
+"""Device-resident sort/segment counter == native host node table."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from rust_mdbg_tpu.core.extract import extract_windows_host
+from rust_mdbg_tpu.core.nodetable import NodeTable
+from rust_mdbg_tpu.ops.extract import DeviceExtractor
+from rust_mdbg_tpu.ops.sort_count import DeviceNodeCounter, make_fused_construct
+from rust_mdbg_tpu.params import Params
+
+
+@pytest.mark.parametrize("minab", [1, 2, 3])
+def test_counter_matches_host_table(minab):
+    rng = np.random.default_rng(9)
+    B, L = 8, 2048
+    n_batches = 3
+    p = Params(k=5, l=8, density=0.02, min_kmer_abundance=minab,
+               engine="device", batch_reads=B)
+    n_reads = B * n_batches
+    codes = rng.integers(0, 4, (n_reads, L)).astype(np.uint8)
+    codes[n_reads // 2 :] = codes[: n_reads - n_reads // 2]  # repeats
+    lengths = np.full((n_reads,), L, dtype=np.int32)
+
+    dev = DeviceExtractor(p)
+    M = dev.capacity(L)
+    W = M - p.k + 1
+    counter = DeviceNodeCounter(k=p.k, window_cap=n_batches * B * W,
+                                node_cap=1 << 14, minab=minab)
+    construct = make_fused_construct(p, B, L, M, n_batches)
+    bufs, _n, n_over = construct(codes, lengths, counter.buffers)
+    counter.buffers = bufs
+    assert int(np.asarray(n_over)) == 0
+    res = counter.finalize()
+
+    # host oracle: windows through the native table in the same order
+    table = NodeTable(min_abundance=minab)
+    vecs_store = {}
+    for bi in range(n_batches):
+        class _B:
+            pass
+
+        b = _B()
+        b.codes = codes[bi * B : (bi + 1) * B]
+        b.lengths = lengths[:B]
+        b.ids = [""] * B
+        b.raw = []
+        b.start_index = 0
+        wb = extract_windows_host(b, p)
+        flags, idx = table.add_batch(wb.key_lo, wb.key_hi, wb.seqlen,
+                                     wb.shift0, wb.shift1)
+        for j in np.nonzero(flags)[0]:
+            vecs_store[int(idx[j])] = (
+                wb.vecs[j], int(wb.seqlen[j]), int(wb.shift0[j]),
+                int(wb.shift1[j]),
+            )
+    table.retain(minab)
+    dump = table.dump()
+
+    assert len(res["index"]) == len(dump["index"])
+    # same key multiset with same counts
+    host_counts = {
+        (int(lo), int(hi)): int(c)
+        for lo, hi, c in zip(dump["key_lo"], dump["key_hi"], dump["abundance"])
+    }
+    dev_counts = {
+        (int(lo), int(hi)): int(c)
+        for lo, hi, c in zip(res["key_lo"], res["key_hi"], res["count"])
+    }
+    assert dev_counts == host_counts
+    # crossing-occurrence seqlen/shift match node for node
+    host_meta = {
+        (int(lo), int(hi)): (int(s), int(s0), int(s1))
+        for lo, hi, s, s0, s1 in zip(
+            dump["key_lo"], dump["key_hi"], dump["seqlen"],
+            dump["shift0"], dump["shift1"],
+        )
+    }
+    for i in range(len(res["index"])):
+        key = (int(res["key_lo"][i]), int(res["key_hi"][i]))
+        m = res["meta"][i]
+        got = (int(m[0]), int(m[1] & 0x7FFFFFFF), int(m[2] & 0x7FFFFFFF))
+        assert got == host_meta[key], key
+    # vectors of crossing occurrences match
+    host_vecs = {
+        (int(lo), int(hi)): v[0]
+        for (lo, hi), v in zip(
+            ((dump["key_lo"][i], dump["key_hi"][i])
+             for i in range(len(dump["index"]))),
+            (vecs_store[int(i)] for i in dump["index"]),
+        )
+    }
+    for i in range(len(res["index"])):
+        key = (int(res["key_lo"][i]), int(res["key_hi"][i]))
+        assert np.array_equal(res["vec"][i], host_vecs[key])
