@@ -117,7 +117,7 @@ def main():
 
     # host side: .sequences + GFA from the compacted per-node results
     t_host0 = time.perf_counter()
-    from rust_mdbg_tpu.io.sequences import write_records_native
+    from rust_mdbg_tpu.io.sequences import write_records_native_sharded
     from rust_mdbg_tpu.utils.seq import CODE_BASE
 
     meta = nodes_dev["meta"]
@@ -130,8 +130,8 @@ def main():
     abs_start = starts[read_g] + start_a
     abs_end = abs_start + seqlen_a + (p.l - 2)
     genome_ascii = CODE_BASE[genome]  # code -> ASCII base, one vectorized pass
-    write_records_native(
-        f"{prefix}.0.sequences", p.k, p.l, nodes_dev["index"],
+    write_records_native_sharded(
+        prefix, p.k, p.l, nodes_dev["index"],
         nodes_dev["vec"], genome_ascii, abs_start, abs_end, rev_a,
         shift0_a, shift1_a,
     )

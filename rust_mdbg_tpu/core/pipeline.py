@@ -243,7 +243,7 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     """
     import jax
 
-    from ..io.sequences import write_records_native
+    from ..io.sequences import write_records_native_sharded
     from ..ops.extract import DeviceExtractor
     from ..ops.sort_count import DeviceNodeCounter, make_fused_construct
 
@@ -328,12 +328,13 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
             blob = b"".join(raw_reads)
             abs_start = offsets[read_g] + start_a
             abs_end = abs_start + seqlen_a + (params.l - 2)
-            write_records_native(
-                sequences_path_for(prefix), params.k, params.l,
+            write_records_native_sharded(
+                prefix, params.k, params.l,
                 res["index"], res["vec"], np.frombuffer(blob, dtype=np.uint8),
                 abs_start, abs_end, (meta[:, 2] >> 31).astype(np.uint8),
                 (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16),
                 (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16),
+                n_shards=params.threads,
             )
     with timer.phase("gfa"):
         nodes = dict(

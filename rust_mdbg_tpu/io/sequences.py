@@ -104,6 +104,34 @@ def write_records_native(path: str, k: int, l: int, index, vecs, reads_buf,
         raise RuntimeError(f"seqs_write failed for {path}")
 
 
+def write_records_native_sharded(prefix: str, k: int, l: int, index, vecs,
+                                 reads_buf, abs_start, abs_end, rev,
+                                 shift0, shift1, n_shards: int = 4):
+    """Parallel bulk write across `prefix.<i>.sequences` shards (the
+    reference's per-thread multi-file contract, main.rs:616-630); the C++
+    writer releases the GIL so shards write concurrently."""
+    import threading
+
+    import numpy as np
+
+    n = len(index)
+    n_shards = max(1, min(n_shards, max(1, n // 1024)))
+    bounds = np.linspace(0, n, n_shards + 1).astype(int)
+    threads = []
+    for s in range(n_shards):
+        a, b = bounds[s], bounds[s + 1]
+        t = threading.Thread(
+            target=write_records_native,
+            args=(sequences_path(prefix, s), k, l, index[a:b], vecs[a:b],
+                  reads_buf, abs_start[a:b], abs_end[a:b], rev[a:b],
+                  shift0[a:b], shift1[a:b]),
+        )
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
+
+
 def iter_sequences(prefix: str):
     """Yield parsed records from all `prefix.*.sequences` shards.
 
