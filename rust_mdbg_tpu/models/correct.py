@@ -82,15 +82,38 @@ def poa_correct(read: EcRead, int_to_minimizer, buckets, params, corrected_map,
     with_dist.sort(key=lambda t: t[1])
     with_dist = with_dist[:MAX_POA_READS]
 
+    # device pre-triage (SURVEY P6): score all candidates fwd+rev against the
+    # LINEAR template in one batched device DP; when the margin is decisive,
+    # skip one of the two per-candidate graph alignments.  (The reference
+    # scores against the growing graph, read.rs:485-519; margins within
+    # TRIAGE_MARGIN fall back to the exact double graph alignment.)
+    TRIAGE_MARGIN = 4
+    triage = None
+    if getattr(params, "ec_fast_triage", True) and with_dist:
+        try:
+            from ..ops.align import semiglobal_scores_batch
+
+            qs = [q.transformed for q, _ in with_dist]
+            fwd_s = semiglobal_scores_batch(template, qs)
+            bwd_s = semiglobal_scores_batch(template, [q[::-1] for q in qs])
+            triage = fwd_s.astype(int) - bwd_s.astype(int)
+        except Exception:
+            triage = None
+
     poa_ids = []
-    for q, _d in with_dist:
+    for ci, (q, _d) in enumerate(with_dist):
         poa_ids.append(q.id)
-        fwd = graph.semiglobal(q.transformed)
         rev_t = q.transformed[::-1]
         rev_seq = revcomp(q.seq)
         rev_pos = [len(q.seq) - params.l - p for p in q.pos[::-1]]
-        bwd = graph.semiglobal(rev_t)
-        if fwd.score > bwd.score:
+        if triage is not None and triage[ci] > TRIAGE_MARGIN:
+            use_fwd = True
+        elif triage is not None and triage[ci] < -TRIAGE_MARGIN:
+            use_fwd = False
+        else:
+            use_fwd = (graph.semiglobal(q.transformed).score
+                       > graph.semiglobal(rev_t).score)
+        if use_fwd:
             aln = graph.semiglobal(q.transformed)
             graph.add_alignment(aln, q.transformed, q.seq, q.pos)
         else:

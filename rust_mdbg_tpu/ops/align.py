@@ -1,0 +1,93 @@
+"""Batched minimizer-space alignment scoring on device (SURVEY P6).
+
+The EC driver's hot alignment loop scores every recruited candidate twice
+(forward and reversed) against the template before the better direction is
+woven into the POA graph (read.rs:485-519).  Those scoring passes don't need
+tracebacks — just the semiglobal DP score — so they vectorize cleanly:
+
+`semiglobal_scores_batch(template, queries)` runs one jitted lax.scan over
+template positions with the whole padded query batch in lanes, computing the
+POA-style semiglobal score (free start anywhere in the template, query fully
+consumed, gap = -1/char like poa_correct's scoring) for every query at once.
+The within-row insertion recurrence is closed into a prefix-max
+(I[j] = ge*j + max_k(C[k] - ge*k)) so each template step is pure VPU work.
+
+Scores correspond to the LINEAR template (the POA graph before weaving); the
+EC driver can use them to triage directions / prune candidates cheaply and
+run the exact graph alignment only for survivors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+NEG = -(2**20)
+
+
+def _make_scores_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("gap", "match", "mismatch"))
+    def scores(template, queries, qlens, gap=-1, match=1, mismatch=-1):
+        B, Q = queries.shape
+        jq = jnp.arange(Q, dtype=jnp.int32)
+        valid = jq[None, :] < qlens[:, None]
+        cols = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), (jq + 1).astype(jnp.int32)]
+        )  # column index 0..Q
+
+        def step(prev, t_sym):                   # prev: [B, Q+1]
+            sub = jnp.where(queries == t_sym, match, mismatch)
+            sub = jnp.where(valid, sub, NEG)
+            diag = prev[:, :-1] + sub            # match into column j+1
+            up = prev[:, 1:] + gap               # template deletion
+            cand = jnp.maximum(diag, up)
+            base = jnp.concatenate(
+                [jnp.zeros((B, 1), dtype=cand.dtype), cand], axis=1
+            )
+            # insertions (consume query) within the row: prefix-max closure
+            keyed = base - cols[None, :] * gap
+            run = jax.lax.associative_scan(jnp.maximum, keyed, axis=1)
+            row = jnp.maximum(base, run + cols[None, :] * gap)
+            row = row.at[:, 0].set(0)            # start anywhere in template
+            return row, None
+
+        row0 = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32),
+             jnp.broadcast_to((jq[None, :] + 1) * gap, (B, Q))], axis=1
+        )
+        last_row, _ = jax.lax.scan(step, row0, template)
+        # the POA semiglobal ends at the terminal node (linear template: its
+        # last position) with the query fully consumed (poa.rs:459-467)
+        return jnp.take_along_axis(last_row, qlens[:, None], axis=1)[:, 0]
+
+    return scores
+
+
+_scores_fn = None
+
+
+def semiglobal_scores_batch(template, queries_list, gap=-1, match=1,
+                            mismatch=-1):
+    """Scores of each query (list of int sequences) vs the linear template."""
+    global _scores_fn
+    import jax.numpy as jnp
+
+    if not queries_list:
+        return np.zeros(0, dtype=np.int32)
+    if _scores_fn is None:
+        _scores_fn = _make_scores_fn()
+    Q = max(8, (max(len(q) for q in queries_list) + 7) & ~7)
+    B = len(queries_list)
+    qs = np.zeros((B, Q), dtype=np.uint64)
+    qlens = np.zeros(B, dtype=np.int32)
+    for i, q in enumerate(queries_list):
+        qs[i, : len(q)] = np.asarray(q, dtype=np.uint64)
+        qlens[i] = len(q)
+    t = np.asarray(template, dtype=np.uint64)
+    out = _scores_fn(jnp.asarray(t), jnp.asarray(qs), jnp.asarray(qlens),
+                     gap=gap, match=match, mismatch=mismatch)
+    return np.asarray(out)

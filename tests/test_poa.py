@@ -102,3 +102,24 @@ def test_ec_end_to_end(tmp_path):
     # at least assert the gfa exists and has edges
     gfa = open(prefix + ".gfa").read()
     assert gfa.count("\nL\t") > 0
+
+
+def test_batched_device_scores_match_poa_linear():
+    """ops/align batched scorer == PoaGraph.semiglobal on a linear template."""
+    from rust_mdbg_tpu.ops.align import semiglobal_scores_batch
+
+    rng = np.random.default_rng(8)
+    template = [int(x) for x in rng.integers(1, 50, 40)]
+    g = _mk_graph(template)
+    queries = []
+    for _ in range(6):
+        q = list(template[5:30])
+        for _ in range(3):
+            q[int(rng.integers(0, len(q)))] = int(rng.integers(1, 50))
+        queries.append(q)
+    queries.append(template[::-1][:20])
+    queries.append([int(x) for x in rng.integers(100, 200, 15)])
+    batch = semiglobal_scores_batch(template, queries)
+    for q, got in zip(queries, batch):
+        expect = g.semiglobal(q).score
+        assert int(got) == expect, (q, int(got), expect)
