@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "host", "device", "pallas"])
     p.add_argument("--batch-reads", type=int, default=512)
     p.add_argument("--max-read-len", type=int, default=0)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="run the multi-device sharded pipeline over N devices")
     return p
 
 
@@ -137,6 +139,11 @@ def main(argv=None):
         from .models.correct import assemble_from_postcor
 
         stats = assemble_from_postcor(params, prefix)
+    elif args.mesh:
+        from .parallel.pipeline import assemble_sharded
+
+        stats = assemble_sharded(args.reads, params, prefix,
+                                 n_devices=args.mesh)
     else:
         stats = assemble(args.reads, params, prefix,
                          read_stats_path=args.read_stats)

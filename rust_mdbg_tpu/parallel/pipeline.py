@@ -1,0 +1,257 @@
+"""Multi-chip mdBG construction pipeline (production shape of SURVEY P1-P3).
+
+Extends parallel/sharded.py's one-shot count step to a full streaming run:
+
+  per round (one jitted call over the mesh):
+    - every device extracts windows from its read shard          (P1)
+    - windows route to owner = key mod n via one all_to_all      (P2)
+    - each owner APPENDS received windows (keys/meta/vecs) into
+      its device-resident shard buffers at the round offset
+  finalize (one jitted call):
+    - per-shard sort + segment-reduce with crossing-occurrence
+      capture (the same _finalize as the single-chip counter)
+    - deterministic global ids: exclusive scan of per-shard
+      passing-node counts (all_gather)                           (P3)
+
+Node ids come out grouped by owner shard and ordered by first occurrence
+within each shard — deterministic, graph-isomorphic to the single-chip
+order.  Host-side outputs (.sequences, GFA) reuse the native writers.
+
+On this box the mesh is virtual (CPU devices) — the driver's
+dryrun_multichip compiles/executes the same code; on a real pod slice the
+all_to_all rides ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import AXIS
+from .sharded import _bucket_by_owner
+
+
+def make_sharded_pipeline(mesh, params, B, L, M, window_cap, node_cap,
+                          route_cap=None):
+    """Returns (step_fn, finalize_fn, make_buffers, shardings).
+
+    B = GLOBAL batch rows per round (divisible by mesh size);
+    window_cap/node_cap are PER SHARD.  Buffers are sharded arrays with
+    leading dim n*window_cap (window_cap rows per shard).
+    """
+    from ..ops.extract import _device_extract
+
+    n = mesh.devices.size
+    W = M - params.k + 1
+    k = params.k
+    B_local = B // n
+    if route_cap is None:
+        route_cap = max(64, (3 * B_local * W) // n)
+    ek = dict(l=params.l, k=params.k, hash_bound=params.hash_bound, M=M,
+              already_hpc=params.reads_already_hpc, compact_output=True,
+              use_pallas=(params.engine == "pallas"))
+    recv = n * route_cap  # windows landing per shard per round
+
+    def _step(codes, lengths, b_keys, b_meta, b_vecs, offset, read_base):
+        out = _device_extract(codes, lengths, **ek)
+        key_lo = out["keys"][..., 0].reshape(-1)
+        key_hi = out["keys"][..., 1].reshape(-1)
+        valid = (out["meta"][..., 1].reshape(-1) >> 31) > 0
+        # payload = row index within this shard's batch; meta columns +
+        # vecs route alongside in their own buckets
+        my = jax.lax.axis_index(AXIS)
+        rows_g = (
+            jax.lax.broadcasted_iota(jnp.uint32, (B_local, W), 0).reshape(-1)
+            + read_base + (my * B_local).astype(jnp.uint32)
+        )
+        meta5 = jnp.concatenate(
+            [out["meta"].reshape(-1, 4), rows_g[:, None]], axis=1
+        )
+
+        owner = (key_lo % np.uint64(n)).astype(jnp.int32)
+        owner = jnp.where(valid, owner, n)
+        one_hot = owner[:, None] == jnp.arange(n + 1, dtype=jnp.int32)[None, :]
+        rank = jnp.cumsum(one_hot.astype(jnp.int32), axis=0) - 1
+        rank = jnp.take_along_axis(rank, owner[:, None], axis=1)[:, 0]
+        dropped = jnp.sum((rank >= route_cap) & valid)
+        slot = jnp.where((owner < n) & (rank < route_cap),
+                         owner * route_cap + rank, n * route_cap)
+        flat = n * route_cap
+
+        def scat(vals, fill, extra=()):
+            base = jnp.full((flat,) + extra, fill, dtype=vals.dtype)
+            return base.at[slot].set(vals, mode="drop")
+
+        bk_lo = scat(key_lo, np.uint64(0))
+        bk_hi = scat(key_hi, np.uint64(0))
+        bmeta = scat(meta5, np.uint32(0), (5,))
+        bvecs = scat(out["vecs"].reshape(-1, k), np.uint64(0), (k,))
+
+        a2a = functools.partial(jax.lax.all_to_all, axis_name=AXIS,
+                                split_axis=0, concat_axis=0, tiled=True)
+        r_lo = a2a(bk_lo)
+        r_hi = a2a(bk_hi)
+        r_meta = a2a(bmeta)
+        r_vecs = a2a(bvecs)
+
+        b_keys = jax.lax.dynamic_update_slice(
+            b_keys, jnp.stack([r_lo, r_hi], axis=1),
+            (offset, jnp.int32(0)),
+        )
+        b_meta = jax.lax.dynamic_update_slice(b_meta, r_meta,
+                                              (offset, jnp.int32(0)))
+        b_vecs = jax.lax.dynamic_update_slice(b_vecs, r_vecs,
+                                              (offset, jnp.int32(0)))
+        n_over = out["overflow"].sum().astype(jnp.int32)
+        return b_keys, b_meta, b_vecs, jax.lax.psum(dropped, AXIS), \
+            jax.lax.psum(n_over, AXIS)
+
+    def _fin(b_keys, b_meta, b_vecs):
+        from ..ops.sort_count import _finalize
+
+        res = _finalize(b_keys, b_meta, b_vecs,
+                        minab=params.min_kmer_abundance, node_cap=node_cap,
+                        keep_all=False)
+        my = jax.lax.axis_index(AXIS)
+        all_pass = jax.lax.all_gather(res["n_pass"], AXIS)
+        base = jnp.sum(jnp.where(jnp.arange(n) < my, all_pass, 0))
+        res["id_base"] = base[None]
+        for key in ("n_pass", "n_unique", "node_overflow"):
+            res[key] = res[key][None]
+        return res
+
+    step = jax.jit(jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS, None),
+                  P(AXIS, None), P(), P()),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(), P()),
+    ), donate_argnums=(2, 3, 4))
+    fin = jax.jit(jax.shard_map(
+        _fin, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+        out_specs=P(AXIS),
+    ))
+
+    def make_buffers():
+        sh = NamedSharding(mesh, P(AXIS, None))
+        zeros = functools.partial(jax.device_put, device=sh)
+        return (
+            zeros(np.zeros((n * window_cap, 2), dtype=np.uint64)),
+            zeros(np.zeros((n * window_cap, 5), dtype=np.uint32)),
+            zeros(np.zeros((n * window_cap, k), dtype=np.uint64)),
+        )
+
+    in_shardings = (
+        NamedSharding(mesh, P(AXIS, None)),
+        NamedSharding(mesh, P(AXIS)),
+    )
+    return step, fin, make_buffers, in_shardings, recv
+
+
+def assemble_sharded(reads_path: str, params, prefix: str,
+                     n_devices: int | None = None) -> dict:
+    """Full multi-device assembly to GFA + .sequences."""
+    from ..core.graph import build_gfa
+    from ..io import fastx
+    from ..io.sequences import remove_stale, write_records_native_sharded
+    from ..ops.extract import DeviceExtractor
+    from .mesh import make_mesh
+
+    mesh = make_mesh(n_devices)
+    n = mesh.devices.size
+    mean_len, mx = fastx.read_first_n_reads(reads_path, 100)
+    L = params.max_read_len or max(1024, ((2 * mx + 511) // 512) * 512)
+    B = ((params.batch_reads + n - 1) // n) * n
+    dev = DeviceExtractor(params)
+    M = dev.capacity(L)
+    W = M - params.k + 1
+
+    import os as _os
+
+    fsize = _os.path.getsize(reads_path)
+    if str(reads_path).endswith((".gz", ".lz4")):
+        fsize *= 6  # DNA text compresses ~3.5-4x; headroom on top
+    est_reads = max(n * 64, int(3.0 * fsize / max(1, mean_len)))
+    n_rounds_est = (est_reads + B - 1) // B
+    route_cap = max(64, (3 * (B // n) * W) // n)
+    window_cap = n_rounds_est * n * route_cap  # per shard
+    step, fin, make_buffers, shardings, recv = make_sharded_pipeline(
+        mesh, params, B, L, M, window_cap, node_cap=1 << 20,
+        route_cap=route_cap,
+    )
+    buffers = make_buffers()
+
+    remove_stale(prefix)
+    raw_reads: list[bytes] = []
+    nb_reads = 0
+    offset = 0
+    read_base = 0
+    drops = []
+    for batch in fastx.batches(reads_path, B, L):
+        codes = jax.device_put(batch.codes, shardings[0])
+        lengths = jax.device_put(batch.lengths, shardings[1])
+        bk, bm, bv, dropped, n_over = step(
+            codes, lengths, *buffers, np.int32(offset), np.uint32(read_base)
+        )
+        buffers = (bk, bm, bv)
+        drops.append((dropped, n_over))
+        raw_reads.extend(batch.raw)
+        nb_reads += batch.n_reads
+        offset += recv
+        read_base += B
+        if offset + recv > window_cap:
+            raise RuntimeError("sharded window capacity exceeded")
+    res = fin(*buffers)
+    for d, o in drops:
+        if int(np.asarray(d).reshape(-1)[0]) or int(np.asarray(o).reshape(-1)[0]):
+            raise RuntimeError("route/extraction overflow in sharded run")
+
+    # collect per-shard results with global id bases
+    n_pass = np.asarray(res["n_pass"]).reshape(-1)
+    bases = np.asarray(res["id_base"]).reshape(-1)
+    key_shape = np.asarray(res["key_lo"]).reshape(n, -1)
+    counts = np.asarray(res["count"]).reshape(n, -1)
+    metas = np.asarray(res["meta"]).reshape(n, key_shape.shape[1], 5)
+    vecs = np.asarray(res["vec"]).reshape(n, key_shape.shape[1], params.k)
+    idx_all, cnt_all, meta_all, vec_all = [], [], [], []
+    for s in range(n):
+        m = int(n_pass[s])
+        idx_all.append(np.arange(bases[s], bases[s] + m, dtype=np.uint32))
+        cnt_all.append(counts[s, :m])
+        meta_all.append(metas[s, :m])
+        vec_all.append(vecs[s, :m])
+    index = np.concatenate(idx_all)
+    count = np.concatenate(cnt_all)
+    meta = np.concatenate(meta_all)
+    vec = np.concatenate(vec_all)
+
+    stats = dict(nb_reads=nb_reads, nb_windows=int(count.sum()),
+                 n_devices=n)
+    if not params.no_basespace and len(index):
+        offsets = np.zeros(len(raw_reads) + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in raw_reads], out=offsets[1:])
+        blob = np.frombuffer(b"".join(raw_reads), dtype=np.uint8)
+        start_a = meta[:, 3].astype(np.int64)
+        read_g = meta[:, 4].astype(np.int64)
+        abs_start = offsets[read_g] + start_a
+        abs_end = abs_start + meta[:, 0].astype(np.int64) + (params.l - 2)
+        write_records_native_sharded(
+            prefix, params.k, params.l, index, vec, blob, abs_start, abs_end,
+            (meta[:, 2] >> 31).astype(np.uint8),
+            (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16),
+            (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16),
+            n_shards=params.threads,
+        )
+    nodes = dict(
+        index=index, abundance=count,
+        seqlen=meta[:, 0].astype(np.uint32),
+        shift0=(meta[:, 1] & 0x7FFFFFFF).astype(np.uint16),
+        shift1=(meta[:, 2] & 0x7FFFFFFF).astype(np.uint16),
+    )
+    stats.update(build_gfa(f"{prefix}.gfa", nodes, vec,
+                           presimp=params.presimp))
+    return stats
