@@ -55,14 +55,15 @@ def run_ops(g: Gfa, ops, verbose=True) -> Gfa:
     return g
 
 
-def magic_simplify(base: str, meta: bool = False, keep: bool = False) -> str:
+def magic_simplify(base: str, meta: bool = False, keep: bool = False,
+                   exact_junctions: bool = False) -> str:
     g = Gfa.parse(base + ".gfa")
     g = run_ops(g, ROUND1)
     tmp1 = base + ".tmp1.gfa"
     g.write(tmp1)
     tmp2 = base + ".tmp2.gfa"
     break_loops(tmp1, tmp2)
-    complete = to_basespace(tmp2, base)
+    complete = to_basespace(tmp2, base, exact=exact_junctions)
     os.replace(complete, tmp2)
 
     current = tmp2
@@ -97,6 +98,7 @@ def main(argv) -> int:
     if not args:
         print("usage: magic-simplify <prefix> [--meta] [--keep]", file=sys.stderr)
         return 2
-    fa = magic_simplify(args[0], meta="--meta" in argv, keep="--keep" in argv)
+    fa = magic_simplify(args[0], meta="--meta" in argv, keep="--keep" in argv,
+                        exact_junctions="--exact-junctions" in argv)
     print(f"Wrote {fa}")
     return 0

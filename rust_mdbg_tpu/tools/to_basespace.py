@@ -25,7 +25,14 @@ from ..utils.seq import revcomp
 
 
 def to_basespace(gfa_path: str, sequences_prefix: str,
-                 out_path: str | None = None) -> str:
+                 out_path: str | None = None, exact: bool = False) -> str:
+    """exact=False reproduces the reference's shift-based cuts exactly
+    (approximate by a few bases at junctions where raw homopolymer extents
+    differ between the recording reads — see tests/test_to_basespace.py).
+    exact=True additionally refines each junction by locating the running
+    unitig tail inside the next node's oriented sequence, which makes
+    junctions byte-exact wherever the two node sequences genuinely overlap
+    — strictly better reconstructions than the reference."""
     out_path = out_path or (gfa_path + ".complete.gfa")
 
     # Pass 1: unitig composition
@@ -81,8 +88,9 @@ def to_basespace(gfa_path: str, sequences_prefix: str,
             nb_kminmers += 1
     print(f"Done parsing original GFA, with {nb_kminmers} k-min-mers.")
 
-    # Pass 2: needed sequence parts
+    # Pass 2: needed sequence parts (exact mode also keeps full sequences)
     sequences: dict[int, str] = {}
+    full: dict[int, str] = {}
     for rec in iter_sequences(sequences_prefix):
         node = rec["index"]
         if node not in node2unitig:
@@ -92,6 +100,8 @@ def to_basespace(gfa_path: str, sequences_prefix: str,
             continue
         seq = rec["seq"]
         cut0, cut1 = rec["shift"]
+        if exact:
+            full[node] = seq
         if kind == ENTIRE:
             sequences[node] = seq
         elif kind == ENTIRE_RC:
@@ -114,6 +124,29 @@ def to_basespace(gfa_path: str, sequences_prefix: str,
             parts.append(sequences[node])
         return "".join(parts)
 
+    T = 48  # junction anchor length for exact mode
+
+    def reconstruct_exact(name: str) -> str:
+        out = []
+        cur_tail = ""
+        for i, (node, ori) in enumerate(unitigs[name]):
+            if node not in full:
+                raise KeyError(f"node {node} missing from .sequences")
+            oriented = full[node] if ori else revcomp(full[node])
+            if i == 0:
+                out.append(oriented)
+            else:
+                piece = None
+                if len(cur_tail) >= T:
+                    idx = oriented.find(cur_tail[-T:])
+                    if idx >= 0:
+                        piece = oriented[idx + T:]
+                if piece is None:
+                    piece = sequences[node]  # shift-based fallback
+                out.append(piece)
+            cur_tail = (cur_tail + out[-1])[-T:]
+        return "".join(out)
+
     seq_lens: dict[str, int] = {}
     with open(gfa_path) as f, open(out_path, "w") as out:
         out.write("H\tVN:Z:1.0\n")
@@ -121,7 +154,7 @@ def to_basespace(gfa_path: str, sequences_prefix: str,
             if line.startswith("S"):
                 v = line.rstrip("\n").split("\t")
                 name = v[1]
-                seq = reconstruct(name)
+                seq = reconstruct_exact(name) if exact else reconstruct(name)
                 seq_lens[name] = len(seq)
                 mean_ab = unitig_abundance.get(name, 0) / max(1, len(unitigs[name]))
                 out.write(
@@ -146,7 +179,11 @@ def main(argv) -> int:
     ap.add_argument("-s", "--sequences", required=True,
                     help="rust_mdbg output prefix (with .gfa and .*.sequences)")
     ap.add_argument("-d", "--debug", action="store_true")
+    ap.add_argument("--exact-junctions", action="store_true",
+                    help="refine junction cuts by overlap matching "
+                         "(byte-exact where node sequences truly overlap; "
+                         "improvement over the reference's shift cuts)")
     a = ap.parse_args(argv)
-    out = to_basespace(a.gfa, a.sequences)
+    out = to_basespace(a.gfa, a.sequences, exact=a.exact_junctions)
     print(f"Wrote {out}")
     return 0

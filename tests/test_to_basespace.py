@@ -69,3 +69,40 @@ def test_msimpl_gfa_has_sequences(simplified):
             assert v[2] != "*" and set(v[2]) <= set("ACGTN")
             assert "mc:f:" in line  # mean abundance tag (to_basespace.rs:288)
             break
+
+
+def test_exact_junctions_improve_reconstruction(simplified, tmp_path):
+    """--exact-junctions: every 500bp window of the contig appears verbatim
+    in the error-free reads (vs ~>80% for the reference's shift cuts)."""
+    import shutil
+
+    from rust_mdbg_tpu.tools.gfa import Gfa
+    from rust_mdbg_tpu.tools.gfa_asm import unitigs as _unitigs
+    from rust_mdbg_tpu.tools.gfa_break_loops import break_loops
+    from rust_mdbg_tpu.tools.magic_simplify import ROUND1, run_ops
+    from rust_mdbg_tpu.tools.to_basespace import to_basespace
+
+    prefix, _ = simplified
+    g = run_ops(Gfa.parse(prefix + ".gfa"), ROUND1, verbose=False)
+    tmp1 = str(tmp_path / "t1.gfa")
+    g.write(tmp1)
+    tmp2 = str(tmp_path / "t2.gfa")
+    break_loops(tmp1, tmp2)
+    out = to_basespace(tmp2, prefix, out_path=str(tmp_path / "exact.gfa"),
+                       exact=True)
+    contig = None
+    for line in open(out):
+        if line.startswith("S"):
+            contig = line.split("\t")[2]
+            break
+    assert contig and len(contig) > 90000
+    reads = [s.decode() for s, in
+             ((s,) for _, s in read_records(
+                 "/root/reference/example/reads-0.00.fa.gz"))]
+    blob = " ".join(reads) + " " + " ".join(revcomp(r) for r in reads)
+    total = hits = 0
+    for i in range(0, len(contig) - 500, 997):
+        total += 1
+        if contig[i : i + 500] in blob:
+            hits += 1
+    assert hits == total, f"{hits}/{total} exact windows"
