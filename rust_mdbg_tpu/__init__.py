@@ -18,9 +18,27 @@ A brand-new framework with the capabilities of ekimb/rust-mdbg (reference mounte
 import time, before any tracing happens.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: compiles go through a remote helper in
+# this environment (~1-4 min per shape), so cache them across processes.
+# Override the location with MDBG_TPU_CACHE; set it empty to disable.
+_cache = _os.environ.get(
+    "MDBG_TPU_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
+                  ".cache", "jax"),
+)
+if _cache:
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 from .params import Params, autodetect_k_l_d  # noqa: E402,F401
 
