@@ -123,7 +123,7 @@ def main(argv=None):
     # subcommand dispatch
     if argv and argv[0] in (
         "to-basespace", "gfa-asm", "magic-simplify", "multik", "gfa2fasta",
-        "break-loops", "simplify-meta", "gfa-complete",
+        "break-loops", "simplify-meta", "gfa-complete", "hpc-compress", "gfa-strip",
     ):
         from .tools import dispatch
 

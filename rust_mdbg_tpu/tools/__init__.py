@@ -35,6 +35,14 @@ def dispatch(name: str, argv: list[str]) -> int:
         from .complete_gfa import main
 
         return main(argv)
+    if name == "hpc-compress":
+        from .hpc_compress import main
+
+        return main(argv)
+    if name == "gfa-strip":
+        from .hpc_compress import main_strip
+
+        return main_strip(argv)
     if name == "break-loops":
         from .gfa_break_loops import main
 
