@@ -236,9 +236,16 @@ class DeviceExtractor:
         if p.max_minimizers_per_read > 0:
             return p.max_minimizers_per_read
         # canonical hash = min(fh, rh): selection rate ~ 2*density (read.rs:183
-        # bound applied to the min of two ~uniform hashes), 3x headroom on top
-        expect = L * p.density * 2 if not p.use_syncmers else L * 0.2
-        m = int(max(p.k + 33, expect * 3))
+        # bound applied to the min of two ~uniform hashes).  Headroom: +8
+        # binomial sigmas (overflowing reads take the exact host fallback, so
+        # this only trades fallback frequency against buffer size — the
+        # window buffers and finalize sorts scale with M).
+        import math
+
+        rate = min(1.0, p.density * 2) if not p.use_syncmers else 0.2
+        expect = L * rate
+        sigma = math.sqrt(max(1.0, expect * (1 - rate)))
+        m = int(max(p.k + 33, expect + 8 * sigma))
         return (m + 31) & ~31
 
     def __call__(self, batch):
