@@ -80,7 +80,7 @@ def main():
     M = dev.capacity(L)
     W = M - p.k + 1
     counter = DeviceNodeCounter(
-        k=p.k, window_cap=(n_reads // B) * B * W, node_cap=1 << 18, minab=2,
+        k=p.k, M=M, read_cap=n_reads, node_cap=1 << 18, minab=2,
     )
     construct = make_fused_construct(p, B, L, M, n_batches)
 

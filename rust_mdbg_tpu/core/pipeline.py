@@ -258,10 +258,12 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     import os as _os
 
     fsize = _os.path.getsize(reads_path)
-    est_reads = max(1024, int(3.0 * fsize / max(1, mean_len)))
-    window_cap = ((est_reads + B - 1) // B) * B * W
+    if str(reads_path).endswith((".gz", ".lz4")):
+        fsize *= 6  # DNA text compresses ~3.5-4x; headroom on top
+    est_reads = max(1024, int(1.5 * fsize / max(1, mean_len)))
+    read_cap = ((est_reads + B - 1) // B) * B
     counter = DeviceNodeCounter(
-        k=params.k, window_cap=window_cap, node_cap=1 << 22,
+        k=params.k, M=M, read_cap=read_cap, node_cap=1 << 22,
         minab=params.min_kmer_abundance,
     )
     construct = make_fused_construct(params, B, L, M, CHUNK_BATCHES)
@@ -269,7 +271,6 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     remove_stale(prefix)
     raw_reads: list[bytes] = []
     nb_reads = 0
-    window_base = 0
     read_base = 0
     n_over_acc = []
 
@@ -278,17 +279,16 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     fill = 0
 
     def flush_chunk():
-        nonlocal window_base, read_base, fill
+        nonlocal read_base, fill
         if fill == 0:
             return
         chunk_len[fill:] = 0
         bufs, _n, n_over = construct(
             jax.device_put(chunk_codes), jax.device_put(chunk_len),
-            counter.buffers, window_base, read_base,
+            counter.buffers, read_base,
         )
         counter.buffers = bufs
         n_over_acc.append(n_over)
-        window_base += CHUNK_BATCHES * B * W
         read_base += CHUNK_BATCHES * B
         fill = 0
 
@@ -297,8 +297,8 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
             n = batch.codes.shape[0]
             if n != B:  # overflow long-read batch: host path not supported here
                 raise RuntimeError("read longer than staging width")
-            if window_base + (fill // B + CHUNK_BATCHES) * B * W > counter.window_cap:
-                raise RuntimeError("window capacity exceeded; use --engine host")
+            if read_base + fill + CHUNK_BATCHES * B > counter.read_cap:
+                counter.grow(read_base + fill + CHUNK_BATCHES * B)
             chunk_codes[fill : fill + n] = batch.codes
             chunk_len[fill : fill + n] = batch.lengths
             raw_reads.extend(batch.raw)

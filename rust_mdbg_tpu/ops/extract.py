@@ -27,7 +27,8 @@ from ..utils.seq import BASE_CODE
 
 
 def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
-                    use_pallas=False, compact_output=False):
+                    use_pallas=False, compact_output=False,
+                    count_output=False):
     import jax.numpy as jnp
 
     from .hpc import hpc_jax, _scatter2d
@@ -73,6 +74,21 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
                            jnp.uint64(0))
     minim_pos = jnp.where(in_range, jnp.take_along_axis(pos_map, perm_m, axis=1),
                           jnp.int32(0))
+
+    if count_output:
+        # Counting path: per-window 128-bit canonical fingerprints computed
+        # in O(1) per window from prefix sums over the compacted minimizer
+        # row (see ops/kminmer.poly_fp_tables) — no [B, W, k] window tensor
+        # is ever materialized.  Invalid windows get the all-ones sentinel
+        # key so the sort-based counter drops them.  Per-window metadata
+        # (shift/seqlen/rev) is reconstructed from (mh, mp) at finalize.
+        keys = _window_keys_poly(minim_hash, k, M)
+        Wn = M - k + 1
+        widx = jnp.arange(Wn, dtype=jnp.int32)
+        valid_w = (n_min[:, None] > k) & (widx[None, :] < n_min[:, None] - k + 1)
+        sentinel = ~jnp.uint64(0)
+        keys = jnp.where(valid_w[..., None], keys, sentinel)
+        return dict(keys=keys, mh=minim_hash, mp=minim_pos, overflow=overflow)
 
     # k-min-mer windows [B, W, k]
     W = M - k + 1
@@ -125,6 +141,62 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
         minim_hash=minim_hash, minim_pos=minim_pos, n_min=n_min,
         overflow=overflow,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _poly_tables_cached(k: int, M: int):
+    from .kminmer import poly_fp_tables
+
+    return poly_fp_tables(k, M)
+
+
+def _window_keys_poly(mh, k: int, M: int):
+    """Canonical 128-bit window fingerprints [B, W, 2] from the compacted
+    minimizer rows mh [B, M], via prefix sums (no [B, W, k] tensor).
+
+    Must equal fingerprint128(canonicalize(window)) exactly — the host
+    oracle (core/extract.py) and the vec-materializing device path both
+    compute that directly, and the device==host tests compare keys.
+    """
+    import jax.numpy as jnp
+
+    W = M - k + 1
+    tables = _poly_tables_cached(k, M)
+
+    # KmerVec::normalize reversal flag (kmer_vec.rs:34-39): lexicographic
+    # first-difference of v[w+j] vs v[w+k-1-j]; palindromes report True.
+    rev_flag = jnp.ones(mh.shape[:-1] + (W,), dtype=bool)
+    for j in range(k - 1, -1, -1):
+        a = mh[..., j : j + W]
+        b = mh[..., k - 1 - j : k - 1 - j + W]
+        rev_flag = jnp.where(a != b, a > b, rev_flag)
+
+    def cumsum_u64(x):
+        # jnp.cumsum on uint64 lowers to a naive reduce-window on TPU
+        # (~1.2 ms per [128, 256] row block!); a log-step doubling scan is
+        # 8 shifted u64 adds and fuses cleanly.  Addition mod 2^64 is
+        # associative, so the result is exact.
+        n = x.shape[-1]
+        s = 1
+        while s < n:
+            pad = jnp.zeros(x.shape[:-1] + (s,), dtype=x.dtype)
+            x = x + jnp.concatenate([pad, x[..., :-s]], axis=-1)
+            s <<= 1
+        return x
+
+    lanes = []
+    for lane in (0, 1):
+        t = tables[lane]
+        apow = jnp.asarray(t["apow"])
+        ainvpow = jnp.asarray(t["ainvpow"])
+        off_ak = jnp.uint64(t["off_ak"])
+        zero = jnp.zeros(mh.shape[:-1] + (1,), dtype=jnp.uint64)
+        S = jnp.concatenate([zero, cumsum_u64(mh * ainvpow[:M])], axis=-1)
+        T = jnp.concatenate([zero, cumsum_u64(mh * apow[:M])], axis=-1)
+        fwd = off_ak + apow[k - 1 : k - 1 + W] * (S[..., k : k + W] - S[..., :W])
+        rev = off_ak + ainvpow[:W] * (T[..., k : k + W] - T[..., :W])
+        lanes.append(jnp.where(rev_flag, rev, fwd))
+    return jnp.stack(lanes, axis=-1)
 
 
 class CompactWindows:

@@ -58,10 +58,14 @@ def window_kminmers_np(
 def fingerprint128_np(vecs: np.ndarray) -> np.ndarray:
     """Order-dependent 128-bit fingerprint of u64 vectors.
 
-    vecs: uint64 [..., k] -> uint64 [..., 2].  Two independent FNV-style lanes;
-    used as the sort/count key standing in for the reference's full-vector
-    DashMap key (main.rs:595).  Collision probability over N distinct k-min-mers
-    is ~N^2/2^129 (negligible at genome scale); the host node table additionally
+    vecs: uint64 [..., k] -> uint64 [..., 2].  Two independent polynomial
+    (Horner) lanes mod 2^64: h = h*A + x, seeded with a lane offset so the
+    value is length-dependent.  Used as the sort/count key standing in for the
+    reference's full-vector DashMap key (main.rs:595).  The linear structure
+    is deliberate: on device the same key is computed for every window in
+    O(1) via prefix sums (ops/extract.py count path).  Inputs are ntHash
+    values (uniform), so collision probability over N distinct k-min-mers is
+    ~N^2/2^129 — negligible at genome scale; the host node table additionally
     stores the full vector so any collision would be detected.
     """
     vecs = np.asarray(vecs, dtype=np.uint64)
@@ -70,10 +74,8 @@ def fingerprint128_np(vecs: np.ndarray) -> np.ndarray:
     with np.errstate(over="ignore"):
         for j in range(vecs.shape[-1]):
             x = vecs[..., j]
-            h1 = (h1 ^ x) * _FNV1
-            h1 ^= h1 >> np.uint64(29)
-            h2 = (h2 ^ x) * _FNV2
-            h2 ^= h2 >> np.uint64(31)
+            h1 = h1 * _FNV1 + x
+            h2 = h2 * _FNV2 + x
     return np.stack([h1, h2], axis=-1)
 
 
@@ -106,8 +108,41 @@ def fingerprint128_jax(vecs):
     h2 = jnp.full(vecs.shape[:-1], _OFF2, dtype=jnp.uint64)
     for j in range(vecs.shape[-1]):
         x = vecs[..., j]
-        h1 = (h1 ^ x) * _FNV1
-        h1 = h1 ^ (h1 >> np.uint64(29))
-        h2 = (h2 ^ x) * _FNV2
-        h2 = h2 ^ (h2 >> np.uint64(31))
+        h1 = h1 * _FNV1 + x
+        h2 = h2 * _FNV2 + x
     return jnp.stack([h1, h2], axis=-1)
+
+
+def poly_fp_tables(k: int, M: int):
+    """Precomputed power tables for the O(1)-per-window device fingerprint.
+
+    fingerprint128 is the Horner polynomial h = OFF·A^k + Σ_j A^(k-1-j)·v[j]
+    (mod 2^64, per lane).  Over a compacted minimizer row v[0..M) the key of
+    every width-k window w is recoverable from two prefix sums:
+
+      fwd(w)   = OFF·A^k + A^(k-1+w) · (S[w+k] − S[w]),  S[i] = Σ_{t<i} A^-t·v[t]
+      rev(w)   = OFF·A^k + A^-w     · (T[w+k] − T[w]),  T[i] = Σ_{t<i} A^t ·v[t]
+
+    (rev(w) is the fingerprint of the REVERSED window — the canonical key when
+    KmerVec::normalize picks the reversal).  A is odd so A^-1 mod 2^64 exists.
+
+    Returns a dict of numpy uint64 arrays keyed per lane.
+    """
+    mask = (1 << 64) - 1
+    out = {}
+    for lane, (a, off) in enumerate(((int(_FNV1), int(_OFF1)),
+                                     (int(_FNV2), int(_OFF2)))):
+        ainv = pow(a, -1, 1 << 64)
+        apow = np.empty(M + k, dtype=np.uint64)
+        ainvpow = np.empty(M + k, dtype=np.uint64)
+        x = y = 1
+        for t in range(M + k):
+            apow[t] = x
+            ainvpow[t] = y
+            x = (x * a) & mask
+            y = (y * ainv) & mask
+        out[lane] = dict(
+            apow=apow, ainvpow=ainvpow,
+            off_ak=np.uint64((off * pow(a, k, 1 << 64)) & mask),
+        )
+    return out

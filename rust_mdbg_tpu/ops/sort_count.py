@@ -1,22 +1,30 @@
 """Device-resident k-min-mer counting: accumulate -> sort -> segment-reduce.
 
 The reference's global concurrent hash (DashMap, main.rs:595) is replaced by a
-sort-based counter that lives entirely in device HBM: every batch's windows
-are appended to preallocated buffers (static-stride dynamic_update_slice, no
-host roundtrip), and a single jitted finalize pass
+sort-based counter that lives entirely in device HBM: every batch's window
+KEYS (128-bit canonical fingerprints, computed O(1)/window from prefix sums —
+ops/extract.py count path) are appended to a preallocated [read_cap*W, 2]
+buffer, alongside the compacted per-read minimizer rows mh/mp [read_cap, M].
+A single jitted finalize pass
 
-  stable-sorts (key_lo, key_hi) with occurrence payloads,
+  stable-sorts (key_lo, key_hi) with occurrence indices,
   finds segment heads, segment-sums abundances,
   picks the min_abundance-th occurrence per key (the reference's
   'crossing' occurrence whose seqlen/shift/sequence get recorded,
   main.rs:680-707), and
-  compacts per-node results to the buffer front.
+  reconstructs that occurrence's window metadata (vector, reversal,
+  shifts, seqlen, start, read row) by GATHERING from mh/mp — windows
+  are never materialized per occurrence, so the buffers are ~10x
+  smaller than storing [window, k] vectors (8k+20 B/window -> 16 B).
 
-Only the compacted per-node arrays ever cross the device->host link — the
-axon relay's ~0.2 s/fetch latency made per-batch fetches the bottleneck.
+occ -> (read, window) is implicit: window occ lives at read_row*W + w, so
+row = occ // W and w = occ % W.
 
-Node IDs: deterministic first-occurrence order (host argsort over first_occ),
-replacing the reference's thread-arrival-order atomic (main.rs:598).
+Only the compacted per-node results ever cross the device->host link — the
+axon relay's ~30 MB/s fetch rate makes every byte count.
+
+Node IDs: deterministic first-occurrence order, replacing the reference's
+thread-arrival-order atomic (main.rs:598).
 """
 
 from __future__ import annotations
@@ -26,30 +34,12 @@ import functools
 import numpy as np
 
 
-def _append(buffers, offset, keys, meta, vecs, read_base):
-    """Write one batch's windows at [offset, offset+B*W) (jitted)."""
-    import jax
-    import jax.numpy as jnp
-
-    b_keys, b_meta, b_vecs = buffers
-    offset = jnp.asarray(offset).astype(jnp.int32)
-    B, W, _ = keys.shape
-    flat_keys = keys.reshape(B * W, 2)
-    rows = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.uint32)[:, None], (B, W)
-    ).reshape(B * W, 1) + read_base
-    flat_meta = jnp.concatenate([meta.reshape(B * W, 4), rows], axis=1)
-    b_keys = jax.lax.dynamic_update_slice(b_keys, flat_keys, (offset, jnp.int32(0)))
-    b_meta = jax.lax.dynamic_update_slice(b_meta, flat_meta, (offset, jnp.int32(0)))
-    if b_vecs is not None:
-        b_vecs = jax.lax.dynamic_update_slice(
-            b_vecs, vecs.reshape(B * W, vecs.shape[-1]), (offset, jnp.int32(0))
-        )
-    return (b_keys, b_meta, b_vecs)
-
-
 def _finalize(b_keys, b_meta, b_vecs, *, minab, node_cap, keep_all):
-    """Sort + segment-reduce the accumulated windows (jitted).
+    """Sort + segment-reduce over windows carrying explicit meta+vecs rows.
+
+    Used by the sharded multi-chip pipeline (parallel/pipeline.py), where
+    windows are routed across shards and the implicit occ->(read, window)
+    mapping of the single-chip layout does not hold.
 
     Returns per-node arrays compacted to [node_cap]:
       key [node_cap, 2], count, first_occ, meta-of-crossing [node_cap, 5],
@@ -67,7 +57,66 @@ def _finalize(b_keys, b_meta, b_vecs, *, minab, node_cap, keep_all):
     hi = jnp.where(valid, b_keys[:, 1], ~jnp.uint64(0))
     occ = jnp.arange(N, dtype=jnp.uint32)
     slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=3)
-    # num_keys=3 includes occ: stable within key groups by construction
+    sval = ~((slo == ~jnp.uint64(0)) & (shi == ~jnp.uint64(0)))
+    n_valid = sval.sum().astype(jnp.int32)
+    prev_lo = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), slo[:-1]])
+    prev_hi = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), shi[:-1]])
+    head = ((slo != prev_lo) | (shi != prev_hi)) & sval
+    n_unique_all = jnp.sum(head.astype(jnp.int32))
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+    hkey = jnp.where(head, iota, n_valid)
+    hkey_s, h_lo, h_hi, h_occ = jax.lax.sort(
+        (hkey, slo, shi, socc), num_keys=1
+    )
+    u_lo = h_lo[:node_cap]
+    u_hi = h_hi[:node_cap]
+    first_occ = h_occ[:node_cap]
+    head_pos = hkey_s[:node_cap]
+    next_head = jnp.concatenate([hkey_s[1 : node_cap + 1]])
+    counts = (next_head - head_pos).astype(jnp.uint32)
+    cross_sorted_idx = jnp.minimum(
+        head_pos.astype(jnp.uint32) + jnp.uint32(minab - 1), jnp.uint32(N - 1)
+    )
+    cross_occ = socc[cross_sorted_idx]
+    cross_meta = b_meta[cross_occ]
+    cross_vec = b_vecs[cross_occ] if b_vecs is not None else None
+    passing = counts >= minab
+    node_overflow = jnp.maximum(0, n_unique_all - node_cap)
+
+    ordkey = jnp.where(passing, first_occ, jnp.uint32(0xFFFFFFFF))
+    n_pass = passing.sum().astype(jnp.int32)
+    cap_iota = jax.lax.broadcasted_iota(jnp.uint32, (node_cap, 1), 0)[:, 0]
+    _, order = jax.lax.sort((ordkey, cap_iota), num_keys=1)
+    out = dict(
+        key_lo=u_lo[order], key_hi=u_hi[order], count=counts[order],
+        meta=cross_meta[order],
+        n_pass=n_pass, n_unique=n_unique_all, node_overflow=node_overflow,
+    )
+    if cross_vec is not None:
+        out["vec"] = cross_vec[order]
+    return out
+
+
+def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap):
+    """Sort + segment-reduce for the single-chip compact layout.
+
+    b_keys [read_cap*W, 2] (invalid windows pre-set to the sentinel),
+    b_mh/b_mp [read_cap, M].  Crossing-occurrence metadata is reconstructed
+    by gathering k-slices from mh/mp at (occ // W, occ % W).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .kminmer import canonicalize_jax
+
+    W = M - k + 1
+    N = b_keys.shape[0]
+    node_cap = min(node_cap, N - 1)
+    lo = b_keys[:, 0]
+    hi = b_keys[:, 1]
+    occ = jnp.arange(N, dtype=jnp.uint32)
+    slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=3)
     sval = ~((slo == ~jnp.uint64(0)) & (shi == ~jnp.uint64(0)))
     n_valid = sval.sum().astype(jnp.int32)
     prev_lo = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), slo[:-1]])
@@ -87,52 +136,64 @@ def _finalize(b_keys, b_meta, b_vecs, *, minab, node_cap, keep_all):
     u_hi = h_hi[:node_cap]
     first_occ = h_occ[:node_cap]
     head_pos = hkey_s[:node_cap]
-    next_head = jnp.concatenate([hkey_s[1 : node_cap + 1]])
+    next_head = hkey_s[1 : node_cap + 1]
     counts = (next_head - head_pos).astype(jnp.uint32)
     # crossing occurrence: (minab-1)-th element of the segment (clamped)
     cross_sorted_idx = jnp.minimum(
         head_pos.astype(jnp.uint32) + jnp.uint32(minab - 1), jnp.uint32(N - 1)
     )
     cross_occ = socc[cross_sorted_idx]
-    cross_meta = b_meta[cross_occ]
-    cross_vec = b_vecs[cross_occ] if b_vecs is not None else None
-    # abundance filter (main.rs:922-933); `keep_all` does not bypass it — the
-    # reference's --reference mode also retains only >= minab (reference runs
-    # pass --minabund 1 to keep singletons, compare_kmers.py usage)
+    rows = (cross_occ // jnp.uint32(W)).astype(jnp.int32)
+    wins = (cross_occ % jnp.uint32(W)).astype(jnp.int32)
+    gidx = (rows * M + wins)[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    vec_f = b_mh.reshape(-1)[gidx]                       # [cap, k] u64
+    pos_f = b_mp.reshape(-1)[gidx].astype(jnp.int32)     # [cap, k]
+    canon_vec, rev = canonicalize_jax(vec_f)
+    d_first = pos_f[:, 1] - pos_f[:, 0]
+    d_last = pos_f[:, k - 1] - pos_f[:, k - 2]
+    shift0 = jnp.where(rev, d_last, d_first).astype(jnp.uint32)
+    shift1 = jnp.where(rev, d_first, d_last).astype(jnp.uint32)
+    seqlen = (pos_f[:, k - 1] - pos_f[:, 0] + 2).astype(jnp.uint32)
+    # meta layout matches the window-carrying path: (seqlen, shift0|valid<<31,
+    # shift1|rev<<31, start, global read row)
+    meta = jnp.stack(
+        [
+            seqlen,
+            shift0 | jnp.uint32(1 << 31),
+            shift1 | (rev.astype(jnp.uint32) << 31),
+            pos_f[:, 0].astype(jnp.uint32),
+            rows.astype(jnp.uint32),
+        ],
+        axis=-1,
+    )
     passing = counts >= minab
     node_overflow = jnp.maximum(0, n_unique_all - node_cap)
 
     # compact passing nodes to the front (one more small sort) so the host
-    # fetches only a prefix — the relay link makes every fetched byte count.
-    # Order key = first_occ for passing nodes: the fetched prefix comes out
-    # already in deterministic first-occurrence order (the node id order).
+    # fetches only a prefix, already in deterministic first-occurrence order
     ordkey = jnp.where(passing, first_occ, jnp.uint32(0xFFFFFFFF))
     n_pass = passing.sum().astype(jnp.int32)
     cap_iota = jax.lax.broadcasted_iota(jnp.uint32, (node_cap, 1), 0)[:, 0]
     _, order = jax.lax.sort((ordkey, cap_iota), num_keys=1)
-    out = dict(
+    return dict(
         key_lo=u_lo[order], key_hi=u_hi[order], count=counts[order],
-        meta=cross_meta[order],
+        meta=meta[order], vec=canon_vec[order],
         n_pass=n_pass, n_unique=n_unique_all, node_overflow=node_overflow,
     )
-    if cross_vec is not None:
-        out["vec"] = cross_vec[order]
-    return out
 
 
 def make_fused_construct(params, B: int, L: int, M: int, n_batches: int):
     """One-dispatch construction: fori_loop over n_batches batches of staged
-    device reads, extracting windows and appending into the counter buffers.
+    device reads, extracting window keys + minimizer rows and appending into
+    the counter buffers.
 
     The whole loop is a single jitted call — per-batch host dispatches cost
     ~50-150 ms each through the axon relay, so looping on device is the only
     way to reach compute-bound throughput.
 
     Returns jitted fn(all_codes [n_batches*B, L] u8, all_lengths [n_batches*B]
-    i32, buffers) -> (buffers, n_overflow_reads).
+    i32, buffers, read_base) -> (buffers, n_windows, n_overflow_reads).
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -140,26 +201,30 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int):
 
     W = M - params.k + 1
     ek = dict(l=params.l, k=params.k, hash_bound=params.hash_bound, M=M,
-              already_hpc=params.reads_already_hpc, compact_output=True,
+              already_hpc=params.reads_already_hpc, count_output=True,
               use_pallas=(params.engine == "pallas"))
 
     @functools.partial(jax.jit, donate_argnums=(2,))
-    def construct(all_codes, all_lengths, buffers, window_base=0, read_base=0):
-        """window_base/read_base: running offsets for chunked streaming (the
-        CLI pipeline feeds the input in chunks; bench stages it whole)."""
-        window_base = jnp.asarray(window_base).astype(jnp.int32)
-        read_base = jnp.asarray(read_base).astype(jnp.uint32)
+    def construct(all_codes, all_lengths, buffers, read_base=0):
+        """read_base: global row offset of this chunk's first read (the CLI
+        pipeline feeds the input in chunks; bench stages it whole)."""
+        read_base = jnp.asarray(read_base).astype(jnp.int32)
 
         def body(i, carry):
-            bufs, n_over = carry
+            (b_keys, b_mh, b_mp), n_over = carry
             codes = jax.lax.dynamic_slice(all_codes, (i * B, 0), (B, L))
             lengths = jax.lax.dynamic_slice(all_lengths, (i * B,), (B,))
             out = _device_extract(codes, lengths, **ek)
-            bufs = _append(bufs, window_base + i * (B * W),
-                           out["keys"], out["meta"],
-                           out["vecs"] if bufs[2] is not None else None,
-                           read_base + (i * B).astype(jnp.uint32))
-            return bufs, n_over + out["overflow"].sum().astype(jnp.int32)
+            row0 = read_base + i * B
+            b_keys = jax.lax.dynamic_update_slice(
+                b_keys, out["keys"].reshape(B * W, 2),
+                (row0 * W, jnp.int32(0)))
+            b_mh = jax.lax.dynamic_update_slice(
+                b_mh, out["mh"], (row0, jnp.int32(0)))
+            b_mp = jax.lax.dynamic_update_slice(
+                b_mp, out["mp"], (row0, jnp.int32(0)))
+            return (b_keys, b_mh, b_mp), \
+                n_over + out["overflow"].sum().astype(jnp.int32)
 
         bufs, n_over = jax.lax.fori_loop(
             0, n_batches, body, (buffers, jnp.int32(0))
@@ -172,48 +237,95 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int):
 class DeviceNodeCounter:
     """Whole-run device-resident counter (single-chip path).
 
-    Capacity model: window_cap windows (each 16B key + 20B meta [+ 8k B vec]);
+    Capacity model: read_cap reads (each 16·W B keys + 12·M B minimizer rows);
     HG002-scale runs exceed HBM and use the chunked host-merge path instead
     (core/pipeline device-table mode falls back automatically).
     """
 
-    def __init__(self, k: int, window_cap: int, node_cap: int,
-                 minab: int, keep_all: bool = False, store_vecs: bool = True):
+    def __init__(self, k: int, M: int, read_cap: int, node_cap: int,
+                 minab: int):
         import jax
         import jax.numpy as jnp
 
         self.k = k
-        self.window_cap = window_cap
+        self.M = M
+        self.W = M - k + 1
+        self.read_cap = read_cap
+        self.window_cap = read_cap * self.W
         self.node_cap = node_cap
         self.minab = minab
-        self.offset = 0
-        self.n_dropped = 0
+        self.offset = 0          # rows filled
         self._jax = jax
+        # sentinel-filled keys: untouched tail rows drop out in finalize
         self.buffers = (
-            jnp.zeros((window_cap, 2), dtype=jnp.uint64),
-            jnp.zeros((window_cap, 5), dtype=jnp.uint32),
-            jnp.zeros((window_cap, k), dtype=jnp.uint64) if store_vecs else None,
+            jnp.full((self.window_cap, 2), ~jnp.uint64(0), dtype=jnp.uint64),
+            jnp.zeros((read_cap, M), dtype=jnp.uint64),
+            jnp.zeros((read_cap, M), dtype=jnp.int32),
         )
-        self._append = jax.jit(_append, donate_argnums=(0,))
+        self._append = jax.jit(self._append_impl, donate_argnums=(0,))
         self._finalize = jax.jit(functools.partial(
-            _finalize, minab=minab, node_cap=node_cap, keep_all=keep_all,
+            _finalize_compact, k=k, M=M, minab=minab, node_cap=node_cap,
         ))
 
-    def add(self, out: dict, read_base: int):
-        """Append one compact extraction output (keys/meta/vecs device arrays)."""
+    @staticmethod
+    def _append_impl(buffers, out, row0):
+        import jax
         import jax.numpy as jnp
 
-        B, W, _ = out["keys"].shape
-        n = B * W
-        if self.offset + n > self.window_cap:
-            self.n_dropped += n
+        b_keys, b_mh, b_mp = buffers
+        row0 = jnp.asarray(row0).astype(jnp.int32)
+        BW2 = out["keys"].shape[0] * out["keys"].shape[1]
+        W = out["keys"].shape[1]
+        b_keys = jax.lax.dynamic_update_slice(
+            b_keys, out["keys"].reshape(BW2, 2), (row0 * W, jnp.int32(0)))
+        b_mh = jax.lax.dynamic_update_slice(b_mh, out["mh"],
+                                            (row0, jnp.int32(0)))
+        b_mp = jax.lax.dynamic_update_slice(b_mp, out["mp"],
+                                            (row0, jnp.int32(0)))
+        return (b_keys, b_mh, b_mp)
+
+    def grow(self, min_read_cap: int):
+        """Double the read capacity (at least to min_read_cap), copying the
+        filled prefix.  Costs one compile per new shape — growth doubles, so
+        the number of distinct shapes is logarithmic."""
+        import jax
+        import jax.numpy as jnp
+
+        new_cap = self.read_cap
+        while new_cap < min_read_cap:
+            new_cap *= 2
+        if new_cap == self.read_cap:
             return
-        vecs = out["vecs"] if self.buffers[2] is not None else None
-        self.buffers = self._append(
-            self.buffers, self.offset, out["keys"], out["meta"], vecs,
-            jnp.uint32(read_base),
-        )
-        self.offset += n
+
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+        def widen(buffers, new_cap):
+            b_keys, b_mh, b_mp = buffers
+            nk = jnp.full((new_cap * self.W, 2), ~jnp.uint64(0),
+                          dtype=jnp.uint64)
+            nk = jax.lax.dynamic_update_slice(nk, b_keys, (0, 0))
+            nh = jnp.zeros((new_cap, self.M), dtype=jnp.uint64)
+            nh = jax.lax.dynamic_update_slice(nh, b_mh, (0, 0))
+            np_ = jnp.zeros((new_cap, self.M), dtype=jnp.int32)
+            np_ = jax.lax.dynamic_update_slice(np_, b_mp, (0, 0))
+            return (nk, nh, np_)
+
+        self.buffers = widen(self.buffers, new_cap)
+        self.read_cap = new_cap
+        self.window_cap = new_cap * self.W
+        self._finalize = self._jax.jit(functools.partial(
+            _finalize_compact, k=self.k, M=self.M, minab=self.minab,
+            node_cap=self.node_cap,
+        ))
+
+    def add(self, out: dict, read_base: int | None = None):
+        """Append one count-mode extraction output (keys/mh/mp device arrays)."""
+        B = out["mh"].shape[0]
+        row0 = self.offset if read_base is None else read_base
+        if row0 + B > self.read_cap:
+            raise RuntimeError(
+                f"read capacity {self.read_cap} exceeded at row {row0}")
+        self.buffers = self._append(self.buffers, out, row0)
+        self.offset = row0 + B
 
     def finalize(self) -> dict:
         """Run the device reduction; fetch only the passing-node prefix.
@@ -222,8 +334,7 @@ class DeviceNodeCounter:
         order, so node ids are simply 0..n_pass-1.  The prefix is fetched at
         the next power of two of n_pass (bounded set of slice shapes to keep
         compile-cache hits)."""
-        b_keys, b_meta, b_vecs = self.buffers
-        out = self._finalize(b_keys, b_meta, b_vecs)
+        out = self._finalize(*self.buffers)
         n_pass = int(np.asarray(out["n_pass"]))
         if int(np.asarray(out["node_overflow"])) > 0:
             raise RuntimeError(

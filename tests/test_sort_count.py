@@ -27,7 +27,7 @@ def test_counter_matches_host_table(minab):
     dev = DeviceExtractor(p)
     M = dev.capacity(L)
     W = M - p.k + 1
-    counter = DeviceNodeCounter(k=p.k, window_cap=n_batches * B * W,
+    counter = DeviceNodeCounter(k=p.k, M=M, read_cap=n_reads,
                                 node_cap=1 << 14, minab=minab)
     construct = make_fused_construct(p, B, L, M, n_batches)
     bufs, _n, n_over = construct(codes, lengths, counter.buffers)
