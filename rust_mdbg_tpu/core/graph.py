@@ -31,28 +31,40 @@ def _fp_pair(vecs: np.ndarray):
     return f, r
 
 
+def _le_rev(x: np.ndarray):
+    """vec <= reversed(vec) per row, via first-difference (palindrome: True)."""
+    r = x[:, ::-1]
+    ne = x != r
+    first = ne.argmax(axis=1)
+    a = x[np.arange(len(x)), first]
+    b = r[np.arange(len(x)), first]
+    return np.where(ne.any(axis=1), a < b, True)
+
+
 def _overlap_keys(varr: np.ndarray):
     """Per-node fingerprints (Fs, Fp, FsR, FpR) and normalized keys."""
     suf = varr[:, 1:]
     pre = varr[:, :-1]
     Fs, FsR = _fp_pair(suf)
     Fp, FpR = _fp_pair(pre)
-
-    def le_rev(x):
-        r = x[:, ::-1]
-        ne = x != r
-        first = ne.argmax(axis=1)
-        a = x[np.arange(len(x)), first]
-        b = r[np.arange(len(x)), first]
-        return np.where(ne.any(axis=1), a < b, True)
-
-    key_suf = np.where(le_rev(suf)[:, None], Fs, FsR)
-    key_pre = np.where(le_rev(pre)[:, None], Fp, FpR)
+    key_suf = np.where(_le_rev(suf)[:, None], Fs, FsR)
+    key_pre = np.where(_le_rev(pre)[:, None], Fp, FpR)
     return Fs, Fp, FsR, FpR, key_suf, key_pre
 
 
+def build_gfa_precomputed(path, nodes: dict, keys6: tuple,
+                          presimp: float) -> dict:
+    """Native GFA write from PRE-computed overlap keys (Fs, Fp, FsR, FpR,
+    key_suf, key_pre) — used by the pipelined device-output path, which
+    computes keys per fetched chunk while the next chunk is in flight."""
+    return _build_gfa_native(
+        path, nodes["index"], nodes["abundance"], nodes["seqlen"],
+        nodes["shift0"], nodes["shift1"], None, presimp, keys6=keys6,
+    )
+
+
 def _build_gfa_native(path, index, abundance, seqlen, shift0, shift1, varr,
-                      presimp) -> dict:
+                      presimp, keys6=None) -> dict:
     import ctypes
 
     from ..native import load
@@ -63,7 +75,8 @@ def _build_gfa_native(path, index, abundance, seqlen, shift0, shift1, varr,
         [ctypes.c_char_p, ctypes.c_int64] + [ctypes.c_void_p] * 11
         + [ctypes.c_double, ctypes.c_void_p]
     )
-    Fs, Fp, FsR, FpR, key_suf, key_pre = _overlap_keys(varr)
+    Fs, Fp, FsR, FpR, key_suf, key_pre = (
+        keys6 if keys6 is not None else _overlap_keys(varr))
 
     def ptr(a, dt):
         return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(ctypes.c_void_p)

@@ -243,7 +243,6 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     """
     import jax
 
-    from ..io.sequences import write_records_native_sharded
     from ..ops.extract import DeviceExtractor
     from ..ops.sort_count import DeviceNodeCounter, make_fused_construct
 
@@ -307,7 +306,11 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
             if fill == CHUNK_BATCHES * B:
                 flush_chunk()
         flush_chunk()
-        res = counter.finalize()
+        nodes = counter.finalize(lazy=True)  # async device reduction starts
+        # overlap the blob concat (host) with the device finalize
+        offsets = np.zeros(len(raw_reads) + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in raw_reads], out=offsets[1:])
+        blob = np.frombuffer(b"".join(raw_reads), dtype=np.uint8)
         n_over = sum(int(np.asarray(x)) for x in n_over_acc)
         if n_over:
             raise RuntimeError(
@@ -316,35 +319,12 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
             )
 
     stats["nb_reads"] = nb_reads
-    stats["nb_windows"] = int(res["count"].sum())
-    meta = res["meta"]
-    with timer.phase("sequences"):
-        if not params.no_basespace and len(res["index"]):
-            seqlen_a = meta[:, 0].astype(np.int64)
-            start_a = meta[:, 3].astype(np.int64)
-            read_g = meta[:, 4].astype(np.int64)
-            offsets = np.zeros(len(raw_reads) + 1, dtype=np.int64)
-            np.cumsum([len(r) for r in raw_reads], out=offsets[1:])
-            blob = b"".join(raw_reads)
-            abs_start = offsets[read_g] + start_a
-            abs_end = abs_start + seqlen_a + (params.l - 2)
-            write_records_native_sharded(
-                prefix, params.k, params.l,
-                res["index"], res["vec"], np.frombuffer(blob, dtype=np.uint8),
-                abs_start, abs_end, (meta[:, 2] >> 31).astype(np.uint8),
-                (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16),
-                (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16),
-                n_shards=params.threads,
-            )
-    with timer.phase("gfa"):
-        nodes = dict(
-            index=res["index"], abundance=res["count"],
-            seqlen=meta[:, 0].astype(np.uint32),
-            shift0=(meta[:, 1] & 0x7FFFFFFF).astype(np.uint16),
-            shift1=(meta[:, 2] & 0x7FFFFFFF).astype(np.uint16),
-        )
-        g = build_gfa(f"{prefix}.gfa", nodes, res.get("vec"),
-                      presimp=params.presimp)
+    with timer.phase("sequences+gfa"):
+        from .device_out import emit_device_outputs
+
+        g = emit_device_outputs(prefix, params, nodes, blob, offsets[:-1],
+                                no_basespace=params.no_basespace)
+        stats["nb_windows"] = int(nodes.fetch("count").sum())
     stats.update(g)
     stats["phases"] = timer.report()
     return stats

@@ -46,6 +46,8 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
         hpc_codes, pos_map, hpc_len = hpc_jax(codes, lengths)
 
     # hash + select
+    import jax
+
     if use_pallas and B % 8 == 0 and L % 512 == 0:
         from .pallas_kernels import nthash_select_pallas
 
@@ -56,18 +58,44 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
         valid = idx[None, :] + l <= hpc_len[:, None]
         sel = (canon <= jnp.uint64(hash_bound)) & valid
 
-    # compact selected minimizers to [B, M]: sort a 32-bit permutation key
-    # only (u64 payloads through the sorter double its cost), then gather the
-    # M-column prefix
-    import jax
-
+    # compact selected minimizers to [B, M] with a TWO-LEVEL sort: per-512
+    # chunk sorts (bitonic cost grows ~log^2 width: 45 passes at 512 vs 120
+    # at 24576) keep the first C slots per chunk, then one narrow
+    # [B, nchunk*C] sort closes the inter-chunk gaps.  Same result as the
+    # full-width sort at ~40% the cost; chunk overflow (> C selected in one
+    # 512 window) is folded into the per-read overflow flag (host fallback).
+    # (Carrying the hash planes through the sorts as payload was tried and
+    # measured SLOWER than the take_along_axis gathers below.)
     n_min_raw = sel.sum(axis=1).astype(jnp.int32)
-    overflow = n_min_raw > M
     n_min = jnp.minimum(n_min_raw, M)
-    iot = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-    skey = jnp.where(sel, iot, jnp.int32(L))
-    _, perm = jax.lax.sort((skey, iot), num_keys=1, dimension=1)
-    perm_m = perm[:, :M]
+    if L % 512 == 0 and L > 2048:
+        C = _chunk_slot_capacity(hash_bound)
+        nch = L // 512
+        iot = jax.lax.broadcasted_iota(jnp.int32, (B * nch, 512), 1)
+        selc = sel.reshape(B * nch, 512)
+        posc = (
+            iot + (jnp.arange(B * nch, dtype=jnp.int32) % nch)[:, None] * 512
+        )
+        ck = jnp.where(selc, iot, jnp.int32(512))
+        sck, cpos = jax.lax.sort((ck, posc), num_keys=1, dimension=1)
+        cval = jnp.where(sck == jnp.int32(512), jnp.int32(L), cpos)
+        # re-sort carries only the first C slots per chunk
+        lvl2 = cval[:, :C].reshape(B, nch * C)
+        l2s = jax.lax.sort(lvl2, dimension=1)
+        if nch * C < M:
+            l2s = jnp.concatenate(
+                [l2s, jnp.full((B, M - nch * C), L, dtype=jnp.int32)], axis=1)
+        perm_m = jnp.minimum(l2s[:, :M], L - 1)
+        # chunk overflow: selected count in some chunk exceeded C
+        chunk_over = (selc.sum(axis=1, dtype=jnp.int32) > C).reshape(
+            B, nch).any(axis=1)
+        overflow = (n_min_raw > M) | chunk_over
+    else:
+        iot = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        skey = jnp.where(sel, iot, jnp.int32(L))
+        _, perm = jax.lax.sort((skey, iot), num_keys=1, dimension=1)
+        perm_m = perm[:, :M]
+        overflow = n_min_raw > M
     miot = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
     in_range = miot < n_min[:, None]
     minim_hash = jnp.where(in_range, jnp.take_along_axis(canon, perm_m, axis=1),
@@ -141,6 +169,20 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
         minim_hash=minim_hash, minim_pos=minim_pos, n_min=n_min,
         overflow=overflow,
     )
+
+
+def _chunk_slot_capacity(hash_bound: int, chunk: int = 512) -> int:
+    """Per-chunk slot count for two-level compaction: selection rate ~= 2x
+    density (canonical hash = min of two ~uniform hashes vs bound = d*2^64),
+    +8 binomial sigmas, rounded up to a multiple of 8, clamped to [16, 256].
+    Chunks exceeding this take the exact host fallback (overflow flag)."""
+    import math
+
+    rate = min(1.0, 2.0 * hash_bound / 2.0 ** 64)
+    expect = chunk * rate
+    sigma = math.sqrt(max(1.0, expect * (1.0 - rate)))
+    c = int(expect + 8 * sigma + 4)
+    return max(16, min(256, (c + 7) & ~7))
 
 
 @functools.lru_cache(maxsize=None)

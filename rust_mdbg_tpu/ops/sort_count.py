@@ -98,7 +98,8 @@ def _finalize(b_keys, b_meta, b_vecs, *, minab, node_cap, keep_all):
     return out
 
 
-def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap):
+def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap,
+                      pass_cap):
     """Sort + segment-reduce for the single-chip compact layout.
 
     b_keys [read_cap*W, 2] (invalid windows pre-set to the sentinel),
@@ -113,6 +114,7 @@ def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap):
     W = M - k + 1
     N = b_keys.shape[0]
     node_cap = min(node_cap, N - 1)
+    pass_cap = min(pass_cap, node_cap)
     lo = b_keys[:, 0]
     hi = b_keys[:, 1]
     occ = jnp.arange(N, dtype=jnp.uint32)
@@ -143,11 +145,26 @@ def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap):
         head_pos.astype(jnp.uint32) + jnp.uint32(minab - 1), jnp.uint32(N - 1)
     )
     cross_occ = socc[cross_sorted_idx]
-    rows = (cross_occ // jnp.uint32(W)).astype(jnp.int32)
-    wins = (cross_occ % jnp.uint32(W)).astype(jnp.int32)
+    passing = counts >= minab
+    node_overflow = jnp.maximum(0, n_unique_all - node_cap)
+
+    # compact passing nodes to the front (one more small sort) so the host
+    # fetches only a prefix, already in deterministic first-occurrence order
+    ordkey = jnp.where(passing, first_occ, jnp.uint32(0xFFFFFFFF))
+    n_pass = passing.sum().astype(jnp.int32)
+    cap_iota = jax.lax.broadcasted_iota(jnp.uint32, (node_cap, 1), 0)[:, 0]
+    _, order = jax.lax.sort((ordkey, cap_iota), num_keys=1)
+    # error-heavy inputs have singleton-dominated key spaces (node_cap can be
+    # 10-30x n_pass); gather vectors/metadata only for the passing prefix
+    # (pass_cap rows) AFTER the passing-first reorder, so the big per-node
+    # arrays scale with real nodes, not with unique keys
+    order_p = order[:pass_cap]
+    cross_occ_p = cross_occ[order_p]
+    rows = (cross_occ_p // jnp.uint32(W)).astype(jnp.int32)
+    wins = (cross_occ_p % jnp.uint32(W)).astype(jnp.int32)
     gidx = (rows * M + wins)[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
-    vec_f = b_mh.reshape(-1)[gidx]                       # [cap, k] u64
-    pos_f = b_mp.reshape(-1)[gidx].astype(jnp.int32)     # [cap, k]
+    vec_f = b_mh.reshape(-1)[gidx]                       # [pass_cap, k] u64
+    pos_f = b_mp.reshape(-1)[gidx].astype(jnp.int32)     # [pass_cap, k]
     canon_vec, rev = canonicalize_jax(vec_f)
     d_first = pos_f[:, 1] - pos_f[:, 0]
     d_last = pos_f[:, k - 1] - pos_f[:, k - 2]
@@ -166,19 +183,12 @@ def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap):
         ],
         axis=-1,
     )
-    passing = counts >= minab
-    node_overflow = jnp.maximum(0, n_unique_all - node_cap)
-
-    # compact passing nodes to the front (one more small sort) so the host
-    # fetches only a prefix, already in deterministic first-occurrence order
-    ordkey = jnp.where(passing, first_occ, jnp.uint32(0xFFFFFFFF))
-    n_pass = passing.sum().astype(jnp.int32)
-    cap_iota = jax.lax.broadcasted_iota(jnp.uint32, (node_cap, 1), 0)[:, 0]
-    _, order = jax.lax.sort((ordkey, cap_iota), num_keys=1)
     return dict(
         key_lo=u_lo[order], key_hi=u_hi[order], count=counts[order],
-        meta=meta[order], vec=canon_vec[order],
-        n_pass=n_pass, n_unique=n_unique_all, node_overflow=node_overflow,
+        meta=meta, vec=canon_vec,
+        # one bundled scalar fetch (each np.asarray round-trips the relay)
+        stats3=jnp.stack([n_pass, n_unique_all,
+                          jnp.maximum(node_overflow, n_pass - pass_cap)]),
     )
 
 
@@ -243,7 +253,7 @@ class DeviceNodeCounter:
     """
 
     def __init__(self, k: int, M: int, read_cap: int, node_cap: int,
-                 minab: int):
+                 minab: int, pass_cap: int | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -253,6 +263,7 @@ class DeviceNodeCounter:
         self.read_cap = read_cap
         self.window_cap = read_cap * self.W
         self.node_cap = node_cap
+        self.pass_cap = min(node_cap, pass_cap or (1 << 22))
         self.minab = minab
         self.offset = 0          # rows filled
         self._jax = jax
@@ -265,6 +276,7 @@ class DeviceNodeCounter:
         self._append = jax.jit(self._append_impl, donate_argnums=(0,))
         self._finalize = jax.jit(functools.partial(
             _finalize_compact, k=k, M=M, minab=minab, node_cap=node_cap,
+            pass_cap=self.pass_cap,
         ))
 
     @staticmethod
@@ -314,7 +326,7 @@ class DeviceNodeCounter:
         self.window_cap = new_cap * self.W
         self._finalize = self._jax.jit(functools.partial(
             _finalize_compact, k=self.k, M=self.M, minab=self.minab,
-            node_cap=self.node_cap,
+            node_cap=self.node_cap, pass_cap=self.pass_cap,
         ))
 
     def add(self, out: dict, read_base: int | None = None):
@@ -327,20 +339,30 @@ class DeviceNodeCounter:
         self.buffers = self._append(self.buffers, out, row0)
         self.offset = row0 + B
 
-    def finalize(self) -> dict:
+    def finalize(self, lazy: bool = False):
         """Run the device reduction; fetch only the passing-node prefix.
 
         Passing nodes are already compacted to the front in first-occurrence
         order, so node ids are simply 0..n_pass-1.  The prefix is fetched at
         the next power of two of n_pass (bounded set of slice shapes to keep
-        compile-cache hits)."""
+        compile-cache hits).
+
+        lazy=True returns a core.device_out.LazyNodes instead of fetching
+        everything — the pipelined output path fetches the (large) vec array
+        in chunks, overlapping transfer with .sequences/GFA host work.
+        """
         out = self._finalize(*self.buffers)
-        n_pass = int(np.asarray(out["n_pass"]))
-        if int(np.asarray(out["node_overflow"])) > 0:
+        n_pass, n_unique, node_overflow = (
+            int(x) for x in np.asarray(out["stats3"]))
+        if node_overflow > 0:
             raise RuntimeError(
                 f"node_cap {self.node_cap} exceeded "
-                f"({int(np.asarray(out['n_unique']))} uniques); raise node_cap"
+                f"({n_unique} uniques); raise node_cap"
             )
+        if lazy:
+            from ..core.device_out import LazyNodes
+
+            return LazyNodes(out, n_pass)
         cap2 = 1
         while cap2 < max(1, n_pass):
             cap2 <<= 1

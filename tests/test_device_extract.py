@@ -78,6 +78,10 @@ def test_device_full_pipeline_matches_host(tmp_path):
     assert open(pa + ".gfa").read() == open(pb + ".gfa").read()
     from rust_mdbg_tpu.io.sequences import iter_sequences
 
-    ra = list(iter_sequences(pa))
-    rb = list(iter_sequences(pb))
+    # record ORDER is not part of the contract (the reference's is
+    # thread-arrival nondeterministic, main.rs:696-707; to_basespace globs
+    # and indexes by node name) — compare per-node content
+    key = lambda r: r["index"]  # noqa: E731
+    ra = sorted(iter_sequences(pa), key=key)
+    rb = sorted(iter_sequences(pb), key=key)
     assert ra == rb
