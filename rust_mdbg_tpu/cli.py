@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restart-from-postcor", action="store_true")
     p.add_argument("--reference", action="store_true")
     p.add_argument("--bf", action="store_true")
+    p.add_argument("--bf-bits", type=int, default=32,
+                   help="log2 Bloom filter bits for --bf (default 32)")
     p.add_argument("--skiphpc", action="store_true")
     p.add_argument("--no-basespace", action="store_true")
     p.add_argument("--read-stats", default=None)
@@ -57,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-read-len", type=int, default=0)
     p.add_argument("--mesh", type=int, default=0,
                    help="run the multi-device sharded pipeline over N devices")
+    p.add_argument("--chunk-reads", type=int, default=0,
+                   help="force chunked >HBM counting with this many reads "
+                        "per device chunk (0 = auto by input size)")
     return p
 
 
@@ -89,6 +94,7 @@ def params_from_args(args) -> tuple[Params, str]:
         error_correct=bool(args.error_correct) and not args.reference,
         reference=bool(args.reference),
         use_bf=bool(args.bf),
+        bloom_log2_bits=args.bf_bits,
         reads_already_hpc=bool(args.skiphpc),
         use_syncmers=bool(args.syncmers),
         s=args.s if args.s is not None else 4,
@@ -107,6 +113,7 @@ def params_from_args(args) -> tuple[Params, str]:
         engine=args.engine,
         batch_reads=args.batch_reads,
         max_read_len=args.max_read_len,
+        chunk_reads=args.chunk_reads,
     )
     if args.lmer_counts is not None:
         object.__setattr__(params, "_lmer_counts_path", args.lmer_counts)

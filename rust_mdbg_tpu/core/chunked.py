@@ -1,0 +1,195 @@
+"""Chunked hierarchical counting: device reduction per chunk, native C++
+global merge — bounded HBM and host RSS at arbitrary input scale.
+
+The whole-run device counter (ops/sort_count.DeviceNodeCounter.finalize)
+keeps every window key in HBM and every raw read byte in host RAM; both fail
+at the reference's headline scale (114 Gbp of HG002 input, README.md:128).
+This driver streams the input in fixed-size chunks:
+
+  per chunk (all on device):   fused extract -> per-chunk sort/segment-reduce
+                               -> compact (unique key, count, occ1, occ2)
+  host merge (C++):            nt_merge_chunk accumulates global abundances,
+                               assigns deterministic node ids, and reports
+                               which keys' min-abundance crossing
+                               (main.rs:680-707) landed in this chunk
+  device gather:               vec + metadata for exactly the crossing
+                               occurrences (one row per NODE over the whole
+                               run crosses the link — never per window)
+  host write:                  the chunk's .sequences shard, while the
+                               chunk's raw bytes are still resident; they are
+                               dropped before the next chunk loads
+
+Exactness: for min_abundance <= 2 (the reference's default and all published
+runs) the crossing occurrence is always the chunk's 1st or 2nd appearance of
+the key, both of which the chunk emission carries.  --bf Bloom semantics are
+preserved by the merge (first global sighting only marks the filter,
+main.rs:639-655), which keeps error singletons out of host memory.
+
+Memory model: HBM = one chunk's buffers (~7 KB/read at HiFi lengths); host =
+node table + one chunk of raw reads + per-node vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io import fastx
+from ..io.sequences import remove_stale, write_records_native
+from ..params import Params
+from ..utils.timing import PhaseTimer
+from .graph import build_gfa
+from .nodetable import NodeTable
+
+
+def chunked_eligible(params: Params) -> bool:
+    """The chunk emission carries two occurrence slots -> crossing capture is
+    exact only for min_abundance <= 2 (or keep-all / reference mode)."""
+    return params.min_kmer_abundance <= 2 or params.reference
+
+
+def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
+                            timer: PhaseTimer | None = None,
+                            stats: dict | None = None,
+                            chunk_reads: int = 0) -> dict:
+    """Bounded-memory device construction for inputs past HBM capacity."""
+    import jax
+
+    from ..ops.extract import DeviceExtractor
+    from ..ops.sort_count import DeviceNodeCounter, make_fused_construct
+
+    timer = timer or PhaseTimer()
+    stats = stats if stats is not None else {}
+    if not chunked_eligible(params):
+        raise RuntimeError(
+            "chunked counting is exact only for --minabund <= 2")
+
+    mean_len, mx = fastx.read_first_n_reads(reads_path, 100)
+    L = params.max_read_len or max(1024, ((2 * mx + 511) // 512) * 512)
+    B = params.batch_reads
+    dev = DeviceExtractor(params)
+    M = dev.capacity(L)
+
+    if chunk_reads <= 0:
+        # target ~0.5 GB of HBM window/minimizer buffers per chunk
+        per_read = 16 * (M - params.k + 1) + 12 * M
+        chunk_reads = max(B, int(5e8 / per_read) // B * B)
+    else:
+        # small forced chunks (tests): shrink the batch to fit the chunk
+        B = min(B, chunk_reads)
+        chunk_reads = (chunk_reads // B) * B
+    n_batches = chunk_reads // B
+
+    counter = DeviceNodeCounter(
+        k=params.k, M=M, read_cap=chunk_reads, node_cap=1 << 22,
+        minab=params.min_kmer_abundance,
+    )
+    construct = make_fused_construct(params, B, L, M, n_batches)
+    table = NodeTable(
+        min_abundance=params.min_kmer_abundance,
+        use_bf=params.use_bf,
+        bloom_log2_bits=params.bloom_log2_bits,
+        keep_all=params.reference,
+        capacity_hint=1 << 22,
+    )
+
+    remove_stale(prefix)
+    W = M - params.k + 1
+    nb_reads = 0
+    nb_windows = 0
+    chunk_i = 0
+    vec_ids: list[np.ndarray] = []
+    vec_arrs: list[np.ndarray] = []
+
+    chunk_codes = np.full((chunk_reads, L), 5, dtype=np.uint8)
+    chunk_len = np.zeros(chunk_reads, dtype=np.int32)
+    chunk_raw: list[bytes] = []
+    fill = 0
+
+    def flush_chunk():
+        nonlocal fill, chunk_i, nb_windows
+        if fill == 0:
+            return
+        chunk_len[fill:] = 0
+        with timer.phase("construct"):
+            bufs, _n, n_over = construct(
+                jax.device_put(chunk_codes), jax.device_put(chunk_len),
+                counter.buffers, 0,
+            )
+            counter.buffers = bufs
+            res = counter.finalize_chunk()
+            n_over = int(np.asarray(n_over))
+        if n_over:
+            raise RuntimeError(
+                f"{n_over} reads overflowed minimizer capacity; "
+                "use --engine host")
+        with timer.phase("merge"):
+            sel, index = table.merge_chunk(
+                res["key_lo"], res["key_hi"], res["count"])
+            nb_windows += int(res["count"].sum())
+        cross = np.nonzero(sel)[0]
+        if cross.size:
+            occs = np.where(sel[cross] == 1, res["occ1"][cross],
+                            res["occ2"][cross]).astype(np.uint32)
+            with timer.phase("gather"):
+                vec, meta = counter.gather_crossing(occs)
+            seqlen = meta[:, 0].astype(np.uint32)
+            shift0 = (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16)
+            shift1 = (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16)
+            rev = (meta[:, 2] >> 31).astype(np.uint8)
+            table.set_meta_batch(res["key_lo"][cross], res["key_hi"][cross],
+                                 seqlen, shift0, shift1)
+            vec_ids.append(index[cross].copy())
+            vec_arrs.append(vec)
+            if not params.no_basespace:
+                with timer.phase("sequences"):
+                    offsets = np.zeros(len(chunk_raw) + 1, dtype=np.int64)
+                    np.cumsum([len(r) for r in chunk_raw], out=offsets[1:])
+                    blob = np.frombuffer(b"".join(chunk_raw), dtype=np.uint8)
+                    start = meta[:, 3].astype(np.int64)
+                    rows = meta[:, 4].astype(np.int64)
+                    abs_start = offsets[rows] + start
+                    abs_end = abs_start + seqlen + (params.l - 2)
+                    write_records_native(
+                        f"{prefix}.{chunk_i}.sequences", params.k, params.l,
+                        index[cross], vec, blob, abs_start, abs_end, rev,
+                        shift0, shift1)
+        counter.reset_chunk()
+        chunk_raw.clear()
+        fill = 0
+        chunk_i += 1
+
+    with timer.phase("stream"):
+        for batch in fastx.batches(reads_path, B, L):
+            n = batch.codes.shape[0]
+            if n != B:
+                raise RuntimeError("read longer than staging width")
+            chunk_codes[fill : fill + n] = batch.codes
+            chunk_len[fill : fill + n] = batch.lengths
+            chunk_raw.extend(batch.raw)
+            nb_reads += batch.n_reads
+            fill += n
+            if fill == chunk_reads:
+                flush_chunk()
+        flush_chunk()
+
+    stats["nb_reads"] = nb_reads
+    stats["nb_windows"] = nb_windows
+    stats["nb_nodes_prefilter"] = len(table)
+    stats["nb_chunks"] = chunk_i
+
+    with timer.phase("gfa"):
+        if params.min_kmer_abundance > 1:
+            table.retain(params.min_kmer_abundance)
+        nodes = table.dump(params.min_kmer_abundance)
+        if vec_ids:
+            ids = np.concatenate(vec_ids)
+            varr = np.concatenate(vec_arrs)
+            varr = varr[np.argsort(ids, kind="stable")]
+        else:
+            varr = np.zeros((0, params.k), dtype=np.uint64)
+        assert len(varr) == len(nodes["index"]), \
+            "crossing set diverged from passing set"
+        g = build_gfa(f"{prefix}.gfa", nodes, varr, presimp=params.presimp)
+    stats.update(g)
+    stats["phases"] = timer.report()
+    return stats

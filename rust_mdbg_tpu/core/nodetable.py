@@ -47,6 +47,16 @@ class NodeTable:
         lib.nt_dump.restype = ctypes.c_int64
         lib.nt_dump.argtypes = [ctypes.c_void_p, ctypes.c_uint32] + [ctypes.c_void_p] * 7
         lib.nt_retain.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.nt_merge_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.nt_set_meta_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         self._t = lib.nt_create(
             capacity_hint, min_abundance, int(use_bf), bloom_log2_bits, int(keep_all)
         )
@@ -88,6 +98,37 @@ class NodeTable:
     def retain(self, min_abund: int):
         """Drop entries with abundance < min_abund (main.rs:922-933)."""
         self._lib.nt_retain(self._t, min_abund)
+
+    def merge_chunk(self, key_lo, key_hi, count):
+        """Merge one chunk's (unique key, in-chunk count) pairs — must be in
+        first-occurrence order.  Returns (sel uint8[N], node_index uint32[N]):
+        sel=1/2 means the min_abundance crossing fell on this chunk's 1st/2nd
+        occurrence of the key (write its .sequences record now); exact for
+        min_abundance <= 2 (enforced by the chunked driver)."""
+        n = len(key_lo)
+        key_lo = np.ascontiguousarray(key_lo, dtype=np.uint64)
+        key_hi = np.ascontiguousarray(key_hi, dtype=np.uint64)
+        count = np.ascontiguousarray(count, dtype=np.uint32)
+        sel = np.zeros(n, dtype=np.uint8)
+        index = np.zeros(n, dtype=np.uint32)
+        self._lib.nt_merge_chunk(
+            self._t, n, self._ptr(key_lo), self._ptr(key_hi),
+            self._ptr(count), self._ptr(sel), self._ptr(index),
+        )
+        return sel, index
+
+    def set_meta_batch(self, key_lo, key_hi, seqlen, shift0, shift1):
+        """Record crossing-occurrence seqlen/shift for existing entries."""
+        n = len(key_lo)
+        key_lo = np.ascontiguousarray(key_lo, dtype=np.uint64)
+        key_hi = np.ascontiguousarray(key_hi, dtype=np.uint64)
+        seqlen = np.ascontiguousarray(seqlen, dtype=np.uint32)
+        shift0 = np.ascontiguousarray(shift0, dtype=np.uint16)
+        shift1 = np.ascontiguousarray(shift1, dtype=np.uint16)
+        self._lib.nt_set_meta_batch(
+            self._t, n, self._ptr(key_lo), self._ptr(key_hi),
+            self._ptr(seqlen), self._ptr(shift0), self._ptr(shift1),
+        )
 
     def lookup_batch(self, key_lo, key_hi) -> np.ndarray:
         n = len(key_lo)

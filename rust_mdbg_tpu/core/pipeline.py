@@ -51,6 +51,12 @@ def assemble(reads_path: str, params: Params, prefix: str,
     stats: dict = {}
 
     if _device_table_eligible(params, read_stats_path):
+        from .chunked import assemble_device_chunked, chunked_eligible
+
+        if params.chunk_reads > 0 and chunked_eligible(params):
+            return assemble_device_chunked(reads_path, params, prefix, timer,
+                                           stats,
+                                           chunk_reads=params.chunk_reads)
         try:
             return assemble_device_table(reads_path, params, prefix, timer,
                                          stats)
@@ -87,6 +93,7 @@ def assemble(reads_path: str, params: Params, prefix: str,
     table = NodeTable(
         min_abundance=params.min_kmer_abundance,
         use_bf=params.use_bf,
+        bloom_log2_bits=params.bloom_log2_bits,
         keep_all=params.reference,
     )
 
@@ -261,6 +268,19 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
         fsize *= 6  # DNA text compresses ~3.5-4x; headroom on top
     est_reads = max(1024, int(1.5 * fsize / max(1, mean_len)))
     read_cap = ((est_reads + B - 1) // B) * B
+
+    # beyond the whole-run HBM budget, switch to bounded-memory chunked
+    # counting (exact for minabund <= 2; core/chunked.py)
+    per_read = 16 * W + 12 * M
+    if read_cap * per_read > 4e9:
+        from .chunked import assemble_device_chunked, chunked_eligible
+
+        if chunked_eligible(params):
+            return assemble_device_chunked(reads_path, params, prefix, timer,
+                                           stats)
+        raise RuntimeError(
+            "input exceeds whole-run HBM capacity and --minabund > 2 "
+            "(chunked counting is exact only for minabund <= 2)")
     counter = DeviceNodeCounter(
         k=params.k, M=M, read_cap=read_cap, node_cap=1 << 22,
         minab=params.min_kmer_abundance,

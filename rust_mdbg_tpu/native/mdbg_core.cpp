@@ -166,6 +166,101 @@ void nt_add_batch(void* p, int64_t n,
     }
 }
 
+// Chunked hierarchical merge (core/chunked.py): one call per input chunk.
+// Inputs are the chunk's unique keys in first-occurrence order with their
+// in-chunk occurrence counts.  Updates global abundances, assigns node ids
+// at table insertion (deterministic, chunk-size independent: insertion
+// happens at a key's first global sighting — second sighting under the
+// Bloom pre-filter — regardless of chunk boundaries), and reports for each
+// key whether the min_abund crossing occurrence (main.rs:680-707) falls in
+// this chunk: out_sel[i] = 0 (no), 1 (use the chunk's 1st occurrence),
+// 2 (the chunk's 2nd).  Exact for min_abund <= 2, which the Python driver
+// enforces (the device chunk emission carries two occurrence slots).
+// out_index[i] = node id, or 0xFFFFFFFF for a Bloom-swallowed singleton.
+void nt_merge_chunk(void* p, int64_t n,
+                    const uint64_t* key_lo, const uint64_t* key_hi,
+                    const uint32_t* count,
+                    uint8_t* out_sel, uint32_t* out_index) {
+    Table* t = static_cast<Table*>(p);
+    const uint32_t minab = t->min_abund;
+    const bool plain = t->keep_all || minab <= 1;
+    const bool bf = !plain && t->use_bf;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t lo = key_lo[i], hi = key_hi[i];
+        uint64_t c = count[i];
+        out_sel[i] = 0;
+        out_index[i] = 0xFFFFFFFFu;
+        bool found;
+        uint64_t slot = t->find(lo, hi, &found);
+        if (found) {
+            Entry& e = t->slots[slot];
+            uint64_t a = e.abundance;
+            if (a < minab && a + c >= minab) out_sel[i] = (uint8_t)(minab - a);
+            uint64_t na = a + c;
+            e.abundance = na > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)na;
+            out_index[i] = e.index;
+            continue;
+        }
+        uint64_t prev = 0;  // occurrences counted before this chunk
+        if (bf) {
+            uint64_t bit = (lo ^ (hi * 0x9E3779B97F4A7C15ULL)) & t->bloom_mask;
+            uint64_t word = bit >> 6, m = 1ULL << (bit & 63);
+            if (!(t->bloom[word] & m)) {
+                // first global sighting: the chunk's 1st occurrence only
+                // marks the filter (main.rs:639-655 semantics)
+                t->bloom[word] |= m;
+                if (c == 1) continue;  // swallowed singleton
+                // chunk has >= 2 occurrences: insert now; the marked
+                // occurrence is counted via the prev=1 convention of
+                // nt_add_batch, so abundance comes out to c
+                prev = 1;
+                c -= 1;
+            } else {
+                prev = 1;  // bloom hit: one earlier (marked) occurrence
+            }
+        }
+        Entry e;
+        e.key_lo = lo; e.key_hi = hi;
+        e.index = t->next_index++;
+        e.seqlen = 0; e.shift0 = 0; e.shift1 = 0;  // set via nt_set_meta_batch
+        uint64_t na = prev + c;
+        e.abundance = na > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)na;
+        t->slots[slot] = e;
+        t->used[slot] = 1;
+        t->count++;
+        out_index[i] = e.index;
+        if (plain) {
+            out_sel[i] = 1;
+        } else if (prev < minab && prev + c >= minab) {
+            // crossing occurrence is the (minab - prev)-th of this chunk's
+            // appearances; under the Bloom branch above the 1st appearance
+            // was consumed by the filter, shifting the selector by one
+            uint64_t sel = minab - prev;
+            if (bf && prev == 1 && count[i] > c) sel += 1;  // marked here
+            out_sel[i] = (uint8_t)sel;
+        }
+        if (t->count * 10 >= (t->mask + 1) * 7) t->grow();
+    }
+}
+
+// Fill seqlen/shift of existing entries (the chunked driver gathers crossing
+// metadata from the device after the merge decides which keys crossed).
+void nt_set_meta_batch(void* p, int64_t n,
+                       const uint64_t* key_lo, const uint64_t* key_hi,
+                       const uint32_t* seqlen,
+                       const uint16_t* shift0, const uint16_t* shift1) {
+    Table* t = static_cast<Table*>(p);
+    for (int64_t i = 0; i < n; i++) {
+        bool found;
+        uint64_t slot = t->find(key_lo[i], key_hi[i], &found);
+        if (!found) continue;
+        Entry& e = t->slots[slot];
+        e.seqlen = seqlen[i];
+        e.shift0 = shift0[i];
+        e.shift1 = shift1[i];
+    }
+}
+
 // Abundance filter: delete entries below min_abund (main.rs:922-933 retain).
 void nt_retain(void* p, uint32_t min_abund) {
     Table* t = static_cast<Table*>(p);

@@ -109,9 +109,6 @@ def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap,
     import jax
     import jax.numpy as jnp
 
-    from .kminmer import canonicalize_jax
-
-    W = M - k + 1
     N = b_keys.shape[0]
     node_cap = min(node_cap, N - 1)
     pass_cap = min(pass_cap, node_cap)
@@ -160,19 +157,95 @@ def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap,
     # arrays scale with real nodes, not with unique keys
     order_p = order[:pass_cap]
     cross_occ_p = cross_occ[order_p]
-    rows = (cross_occ_p // jnp.uint32(W)).astype(jnp.int32)
-    wins = (cross_occ_p % jnp.uint32(W)).astype(jnp.int32)
+    # meta layout matches the window-carrying path: (seqlen, shift0|valid<<31,
+    # shift1|rev<<31, start, global read row)
+    canon_vec, meta = _gather_window_meta(b_mh, b_mp, cross_occ_p, k=k, M=M)
+    return dict(
+        key_lo=u_lo[order], key_hi=u_hi[order], count=counts[order],
+        meta=meta, vec=canon_vec,
+        # one bundled scalar fetch (each np.asarray round-trips the relay)
+        stats3=jnp.stack([n_pass, n_unique_all,
+                          jnp.maximum(node_overflow, n_pass - pass_cap)]),
+    )
+
+
+def _finalize_chunk(b_keys, *, node_cap):
+    """Per-chunk reduction for the >HBM chunked-counting path: compact the
+    chunk's UNIQUE keys (with per-chunk counts and the window occurrences of
+    their first TWO in-chunk appearances) in first-occurrence order.
+
+    The host merges (key, count, occ1, occ2) into the native C++ table
+    (nt_merge_chunk) which tracks global abundance across chunks and decides,
+    exactly for min_abundance <= 2, whether the abundance-crossing occurrence
+    (main.rs:680-707) falls in this chunk — and if so whether it is the
+    chunk's 1st or 2nd appearance.  Vector + metadata are then gathered on
+    device (gather_window_meta) for exactly the crossing occurrences, so the
+    device->host traffic for the big arrays is one vec/meta row per NODE over
+    the whole run, never per window or per unique singleton.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    N = b_keys.shape[0]
+    node_cap = min(node_cap, N - 1)
+    lo = b_keys[:, 0]
+    hi = b_keys[:, 1]
+    occ = jnp.arange(N, dtype=jnp.uint32)
+    slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=3)
+    sval = ~((slo == ~jnp.uint64(0)) & (shi == ~jnp.uint64(0)))
+    n_valid = sval.sum().astype(jnp.int32)
+    prev_lo = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), slo[:-1]])
+    prev_hi = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), shi[:-1]])
+    head = ((slo != prev_lo) | (shi != prev_hi)) & sval
+    n_unique = jnp.sum(head.astype(jnp.int32))
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+    hkey = jnp.where(head, iota, n_valid)
+    hkey_s, h_lo, h_hi, h_occ = jax.lax.sort(
+        (hkey, slo, shi, socc), num_keys=1
+    )
+    head_pos = hkey_s[:node_cap]
+    next_head = hkey_s[1 : node_cap + 1]
+    counts = (next_head - head_pos).astype(jnp.uint32)
+    occ1 = h_occ[:node_cap]
+    # 2nd in-chunk appearance (valid only when count >= 2; the merge checks)
+    occ2 = socc[jnp.minimum(head_pos + 1, N - 1)]
+
+    # order every unique by first occurrence so host id assignment is
+    # deterministic and chunk-size independent
+    ordkey = jnp.where(iota[:node_cap] < n_unique, occ1,
+                       jnp.uint32(0xFFFFFFFF))
+    cap_iota = jax.lax.broadcasted_iota(jnp.uint32, (node_cap, 1), 0)[:, 0]
+    _, order = jax.lax.sort((ordkey, cap_iota), num_keys=1)
+    return dict(
+        key_lo=h_lo[:node_cap][order], key_hi=h_hi[:node_cap][order],
+        count=counts[order], occ1=occ1[order], occ2=occ2[order],
+        stats2=jnp.stack([n_unique,
+                          jnp.maximum(0, n_unique - node_cap)]),
+    )
+
+
+def _gather_window_meta(b_mh, b_mp, occs, *, k, M):
+    """Reconstruct (canonical vec, seqlen, shift0, shift1, rev, start, row)
+    for a list of window occurrences (chunk-local), gathering k-slices from
+    the compact per-read minimizer rows — shared by the whole-run finalize
+    and the chunked path's crossing-occurrence gather."""
+    import jax.numpy as jnp
+
+    from .kminmer import canonicalize_jax
+
+    W = M - k + 1
+    rows = (occs // jnp.uint32(W)).astype(jnp.int32)
+    wins = (occs % jnp.uint32(W)).astype(jnp.int32)
     gidx = (rows * M + wins)[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
-    vec_f = b_mh.reshape(-1)[gidx]                       # [pass_cap, k] u64
-    pos_f = b_mp.reshape(-1)[gidx].astype(jnp.int32)     # [pass_cap, k]
+    vec_f = b_mh.reshape(-1)[gidx]
+    pos_f = b_mp.reshape(-1)[gidx].astype(jnp.int32)
     canon_vec, rev = canonicalize_jax(vec_f)
     d_first = pos_f[:, 1] - pos_f[:, 0]
     d_last = pos_f[:, k - 1] - pos_f[:, k - 2]
     shift0 = jnp.where(rev, d_last, d_first).astype(jnp.uint32)
     shift1 = jnp.where(rev, d_first, d_last).astype(jnp.uint32)
     seqlen = (pos_f[:, k - 1] - pos_f[:, 0] + 2).astype(jnp.uint32)
-    # meta layout matches the window-carrying path: (seqlen, shift0|valid<<31,
-    # shift1|rev<<31, start, global read row)
     meta = jnp.stack(
         [
             seqlen,
@@ -183,13 +256,7 @@ def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap,
         ],
         axis=-1,
     )
-    return dict(
-        key_lo=u_lo[order], key_hi=u_hi[order], count=counts[order],
-        meta=meta, vec=canon_vec,
-        # one bundled scalar fetch (each np.asarray round-trips the relay)
-        stats3=jnp.stack([n_pass, n_unique_all,
-                          jnp.maximum(node_overflow, n_pass - pass_cap)]),
-    )
+    return canon_vec, meta
 
 
 def make_fused_construct(params, B: int, L: int, M: int, n_batches: int):
@@ -278,6 +345,12 @@ class DeviceNodeCounter:
             _finalize_compact, k=k, M=M, minab=minab, node_cap=node_cap,
             pass_cap=self.pass_cap,
         ))
+        self._finalize_chunk = jax.jit(functools.partial(
+            _finalize_chunk, node_cap=self.window_cap))
+        self._gather = jax.jit(functools.partial(
+            _gather_window_meta, k=k, M=M))
+        self._refill = jax.jit(
+            lambda b: jnp.full_like(b, ~jnp.uint64(0)), donate_argnums=(0,))
 
     @staticmethod
     def _append_impl(buffers, out, row0):
@@ -373,3 +446,48 @@ class DeviceNodeCounter:
                 res[name] = np.asarray(out[name][:cap2])[:n_pass]
         res["index"] = np.arange(n_pass, dtype=np.uint32)
         return res
+
+    # --- chunked >HBM counting path (core/chunked.py driver) -------------
+
+    def finalize_chunk(self) -> dict:
+        """Reduce the CURRENT chunk only: unique keys with per-chunk counts
+        and first/second occurrence ids, in first-occurrence order.  Fetches
+        the n_unique prefix (power-of-2 slice shapes)."""
+        out = self._finalize_chunk(self.buffers[0])
+        n_unique, overflow = (int(x) for x in np.asarray(out["stats2"]))
+        if overflow > 0:
+            raise RuntimeError("chunk unique keys exceeded window capacity")
+        cap2 = 1
+        while cap2 < max(1, n_unique):
+            cap2 <<= 1
+        cap2 = min(cap2, out["key_lo"].shape[0])
+        res = {
+            name: np.asarray(out[name][:cap2])[:n_unique]
+            for name in ("key_lo", "key_hi", "count", "occ1", "occ2")
+        }
+        res["n_unique"] = n_unique
+        return res
+
+    def gather_crossing(self, occs: np.ndarray):
+        """Device-gather (canonical vec, meta) for chunk-local window
+        occurrences — called for exactly the occurrences whose abundance
+        crossing fell in this chunk.  occs padded to power-of-2 shapes to
+        bound compile count."""
+        import jax.numpy as jnp
+
+        n = len(occs)
+        cap2 = 8
+        while cap2 < n:
+            cap2 <<= 1
+        padded = np.zeros(cap2, dtype=np.uint32)
+        padded[:n] = occs
+        vec, meta = self._gather(self.buffers[1], self.buffers[2],
+                                 jnp.asarray(padded))
+        return np.asarray(vec)[:n], np.asarray(meta)[:n]
+
+    def reset_chunk(self):
+        """Sentinel-refill the key buffer for the next chunk (stale mh/mp
+        rows are unreachable: gathers only follow valid keys)."""
+        b_keys, b_mh, b_mp = self.buffers
+        self.buffers = (self._refill(b_keys), b_mh, b_mp)
+        self.offset = 0

@@ -41,6 +41,7 @@ class Params:
     # modes
     reference: bool = False    # input is genome(s), keep all k-min-mers (main.rs:342-348)
     use_bf: bool = False
+    bloom_log2_bits: int = 32  # Bloom size (reference hardcodes ~2^32 slots, main.rs:597)
     reads_already_hpc: bool = False
     no_basespace: bool = False
     debug: bool = False
@@ -51,6 +52,7 @@ class Params:
     batch_reads: int = 512     # reads per device batch
     max_read_len: int = 0      # 0 = auto from input scan
     max_minimizers_per_read: int = 0  # 0 = auto (capacity of compacted tensor)
+    chunk_reads: int = 0       # >0: force chunked >HBM counting (core/chunked.py)
 
     @property
     def hash_bound(self) -> int:

@@ -1,0 +1,87 @@
+"""Chunked >HBM counting path == whole-run paths, node for node.
+
+The chunked driver (core/chunked.py) must produce the same node multiset
+(key -> abundance, seqlen, shifts, sequence payload) and the same graph as
+the host oracle and the whole-run device path, with chunk sizes forcing
+multiple chunks and mid-chunk key straddling.
+"""
+
+import numpy as np
+import pytest
+
+from rust_mdbg_tpu.core.chunked import assemble_device_chunked
+from rust_mdbg_tpu.core.pipeline import assemble
+from rust_mdbg_tpu.io.sequences import iter_sequences
+from rust_mdbg_tpu.params import Params
+
+EXAMPLE = "/root/reference/example/reads-0.00.fa.gz"
+
+
+def _node_content(prefix):
+    """Node content keyed by minimizer vector (ids are path-dependent:
+    the reference's are thread-arrival nondeterministic, main.rs:696-707)."""
+    recs = {}
+    for r in iter_sequences(prefix):
+        recs[tuple(r["minimizers"])] = (r["seq"], r["shift"])
+    return recs
+
+
+def _gfa_node_set(prefix):
+    """(LN, KC) multiset + edge count — id-invariant graph signature."""
+    nodes = []
+    edges = 0
+    for line in open(prefix + ".gfa"):
+        if line.startswith("S"):
+            f = line.split("\t")
+            nodes.append((f[3], f[4].strip()))
+        elif line.startswith("L"):
+            edges += 1
+    return sorted(nodes), edges
+
+
+@pytest.mark.parametrize("chunk_reads", [64, 256])
+def test_chunked_matches_host(tmp_path, chunk_reads):
+    ph = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2,
+                engine="host")
+    pc = ph.replace(engine="device")
+    pa = str(tmp_path / "host")
+    pb = str(tmp_path / "chunk")
+    assemble(EXAMPLE, ph, pa)
+    assemble_device_chunked(EXAMPLE, pc, pb, chunk_reads=chunk_reads)
+    assert _gfa_node_set(pa) == _gfa_node_set(pb)
+    assert _node_content(pa) == _node_content(pb)
+
+
+def test_chunked_bloom_matches_streaming_bloom(tmp_path):
+    """--bf semantics through the chunk merge == the streaming add path."""
+    ph = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2,
+                engine="host", use_bf=True, bloom_log2_bits=24)
+    pc = ph.replace(engine="device")
+    pa = str(tmp_path / "host")
+    pb = str(tmp_path / "chunk")
+    assemble(EXAMPLE, ph, pa)
+    assemble_device_chunked(EXAMPLE, pc, pb, chunk_reads=128)
+    assert _gfa_node_set(pa) == _gfa_node_set(pb)
+    assert _node_content(pa) == _node_content(pb)
+
+
+def test_chunked_matches_device_whole_run(tmp_path):
+    from rust_mdbg_tpu.core.pipeline import assemble_device_table
+    from rust_mdbg_tpu.utils.timing import PhaseTimer
+
+    pd = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2,
+                engine="device")
+    pa = str(tmp_path / "whole")
+    pb = str(tmp_path / "chunk")
+    assemble_device_table(EXAMPLE, pd, pa, PhaseTimer(), {})
+    s = assemble_device_chunked(EXAMPLE, pd, pb, chunk_reads=192)
+    assert s["nb_chunks"] >= 3
+    assert _gfa_node_set(pa) == _gfa_node_set(pb)
+    assert _node_content(pa) == _node_content(pb)
+
+
+def test_chunked_minabund_gate():
+    p = Params(k=7, l=10, density=0.0008, min_kmer_abundance=3,
+               engine="device")
+    with pytest.raises(RuntimeError, match="minabund"):
+        assemble_device_chunked(EXAMPLE, p, "/tmp/never", chunk_reads=128)
