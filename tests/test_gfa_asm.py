@@ -138,4 +138,4 @@ def test_reference_example_simplifies_to_one_unitig(tmp_path):
     assemble("/root/reference/example/reads-0.00.fa.gz", p, prefix)
     g = run_ops(Gfa.parse(prefix + ".gfa"), ROUND1, verbose=False)
     assert len(g.segments) == 1
-    assert len(g.a_lines) == 88
+    assert len(g.a_lines) == 104

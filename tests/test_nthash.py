@@ -59,9 +59,22 @@ def test_canonical_strand_symmetric():
 
 def test_seeds_are_nthash_v1():
     assert SEED_A == 0x3C8BFBB395C60474
-    assert SEED_C == 0x3293C6E499B97FF5
+    assert SEED_C == 0x3193C18562A02B4C
     assert SEED_G == 0x20323ED082572324
     assert SEED_T == 0x295549F54BE24456
+
+
+def test_external_oracle_vector():
+    """Published test vector of the `nthash` Rust crate (the exact library
+    the reference links against, /root/reference/Cargo.toml:26):
+    ntf64(b"TGCAG", 0, 5) == 0x0bafa6728fc6dabf.  TGCAG covers all four
+    bases, so this pins every seed constant AND the rotation schedule to the
+    external implementation — numerics parity no longer rests only on
+    self-consistency (it caught a wrong SEED_C in round 2)."""
+    f, r = nthash_windows_np(encode_bases("TGCAG"), 5)
+    assert int(f[0]) == 0x0BAFA6728FC6DABF
+    # canonical = min(f, r); here forward < reverse
+    assert ntc64("TGCAG") == 0x0BAFA6728FC6DABF
 
 
 def test_n_hashes_as_zero_seed():

@@ -22,8 +22,8 @@ def test_counts(example_run):
     prefix, stats = example_run
     assert stats["nb_reads"] == 657
     # snapshot of this implementation's deterministic output
-    assert stats["nb_nodes"] == 88
-    assert stats["nb_edges"] == 174
+    assert stats["nb_nodes"] == 104
+    assert stats["nb_edges"] == 206
 
 
 def test_gfa_format(example_run):
@@ -32,7 +32,7 @@ def test_gfa_format(example_run):
     assert lines[0] == "H\tVN:Z:1.0"
     s_lines = [l for l in lines if l.startswith("S")]
     l_lines = [l for l in lines if l.startswith("L")]
-    assert len(s_lines) == 88 and len(l_lines) == 174
+    assert len(s_lines) == 104 and len(l_lines) == 206
     f = s_lines[0].split("\t")
     assert f[2] == "*" and f[3].startswith("LN:i:") and f[4].startswith("KC:i:")
     f = l_lines[0].split("\t")
@@ -50,9 +50,9 @@ def test_gfa_format(example_run):
 def test_sequences_records(example_run):
     prefix, _ = example_run
     recs = list(iter_sequences(prefix))
-    assert len(recs) == 88
+    assert len(recs) == 104
     by_index = {r["index"] for r in recs}
-    assert len(by_index) == 88
+    assert len(by_index) == 104
     for r in recs:
         assert len(r["minimizers"]) == 7
         assert set(r["seq"]) <= set("ACGTN")

@@ -36,7 +36,7 @@ def test_sharded_assemble_matches_host(n_devices, tmp_path):
     host_stats = assemble(EXAMPLE, p.replace(engine="host"), ph)
     shard_stats = assemble_sharded(EXAMPLE, p, ps, n_devices=n_devices)
     assert shard_stats["nb_reads"] == host_stats["nb_reads"] == 657
-    assert shard_stats["nb_nodes"] == host_stats["nb_nodes"] == 88
-    assert shard_stats["nb_edges"] == host_stats["nb_edges"] == 174
+    assert shard_stats["nb_nodes"] == host_stats["nb_nodes"] == 104
+    assert shard_stats["nb_edges"] == host_stats["nb_edges"] == 206
     # node-level equality including crossing metadata, keyed by minimizer vec
     assert _node_map(ps) == _node_map(ph)
