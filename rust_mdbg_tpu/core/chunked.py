@@ -100,19 +100,16 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     vec_ids: list[np.ndarray] = []
     vec_arrs: list[np.ndarray] = []
 
-    chunk_codes = np.full((chunk_reads, L), 5, dtype=np.uint8)
-    chunk_len = np.zeros(chunk_reads, dtype=np.int32)
-    chunk_raw: list[bytes] = []
-    fill = 0
-
-    def flush_chunk():
-        nonlocal fill, chunk_i, nb_windows
+    def flush_chunk(codes, lens, blob, blob_off, fill):
+        """One chunk through: device reduce -> native merge -> crossing
+        gather -> .sequences shard.  codes/lens are full chunk-shaped arrays
+        (rows >= fill masked by lens == 0)."""
+        nonlocal chunk_i, nb_windows
         if fill == 0:
             return
-        chunk_len[fill:] = 0
         with timer.phase("construct"):
             bufs, _n, n_over = construct(
-                jax.device_put(chunk_codes), jax.device_put(chunk_len),
+                jax.device_put(codes), jax.device_put(lens),
                 counter.buffers, 0,
             )
             counter.buffers = bufs
@@ -142,35 +139,26 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
             vec_arrs.append(vec)
             if not params.no_basespace:
                 with timer.phase("sequences"):
-                    offsets = np.zeros(len(chunk_raw) + 1, dtype=np.int64)
-                    np.cumsum([len(r) for r in chunk_raw], out=offsets[1:])
-                    blob = np.frombuffer(b"".join(chunk_raw), dtype=np.uint8)
                     start = meta[:, 3].astype(np.int64)
                     rows = meta[:, 4].astype(np.int64)
-                    abs_start = offsets[rows] + start
+                    abs_start = blob_off[rows] + start
                     abs_end = abs_start + seqlen + (params.l - 2)
                     write_records_native(
                         f"{prefix}.{chunk_i}.sequences", params.k, params.l,
                         index[cross], vec, blob, abs_start, abs_end, rev,
                         shift0, shift1)
         counter.reset_chunk()
-        chunk_raw.clear()
-        fill = 0
         chunk_i += 1
 
+    from .fastx_feed import stream_chunks
+
     with timer.phase("stream"):
-        for batch in fastx.batches(reads_path, B, L):
-            n = batch.codes.shape[0]
-            if n != B:
+        for codes, lens, blob, blob_off, fill in stream_chunks(
+                reads_path, chunk_reads, B, L, mean_len):
+            if codes.shape[1] != L:
                 raise RuntimeError("read longer than staging width")
-            chunk_codes[fill : fill + n] = batch.codes
-            chunk_len[fill : fill + n] = batch.lengths
-            chunk_raw.extend(batch.raw)
-            nb_reads += batch.n_reads
-            fill += n
-            if fill == chunk_reads:
-                flush_chunk()
-        flush_chunk()
+            nb_reads += fill
+            flush_chunk(codes, lens, blob, blob_off, fill)
 
     stats["nb_reads"] = nb_reads
     stats["nb_windows"] = nb_windows

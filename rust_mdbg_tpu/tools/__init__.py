@@ -43,6 +43,10 @@ def dispatch(name: str, argv: list[str]) -> int:
         from .hpc_compress import main_strip
 
         return main_strip(argv)
+    if name == "synth-reads":
+        from ..experiments.synth import main
+
+        return main(argv)
     if name == "break-loops":
         from .gfa_break_loops import main
 
