@@ -35,6 +35,8 @@ def test_medium_genome_assembles_contiguously(tmp_path):
     fa = magic_simplify(prefix)
     s = assembly_stats(fa)
     # a random (repeat-free) genome should assemble nearly end-to-end
+    # (seeds 7/11/12/42 give N50 ~= 1.0x G, seed 13 gives 0.81x; the round-1
+    # seed-dependent split below 0.8x no longer reproduces)
     assert s["n_contigs"] <= 8
-    assert s["n50"] > 0.3 * G
+    assert s["n50"] > 0.8 * G
     assert 0.95 * G < s["assembly_size"] < 1.1 * G
