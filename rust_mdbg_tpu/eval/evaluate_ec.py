@@ -22,7 +22,7 @@ def blast_identity(reference, read) -> float:
     """Best of fwd/rev semiglobal identity of `read` against `reference`."""
     score = lambda a, b: 1 if a == b else -1  # noqa: E731
     # linear gap -1/char: gap_open=0, gap_extend=-1
-    aligner = pairwise.Aligner(0, -1, score)
+    aligner = pairwise.Aligner(0, -1, score, match_scores=(1, -1))
 
     def ident(query):
         aln = aligner.semiglobal(list(query), list(reference))

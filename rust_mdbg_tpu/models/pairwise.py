@@ -33,14 +33,20 @@ class Alignment:
 
 
 class Aligner:
-    def __init__(self, gap_open: int, gap_extend: int, match_fn):
+    def __init__(self, gap_open: int, gap_extend: int, match_fn,
+                 match_scores: tuple[int, int] | None = None):
+        """match_scores: when the caller's match_fn is the plain
+        (match, mismatch) comparator, passing the pair here lets the DP rows
+        vectorize; pass None for an arbitrary match_fn."""
         self.gap_open = gap_open
         self.gap_extend = gap_extend
         self.match_fn = match_fn
+        self.match_scores = match_scores
 
     @classmethod
-    def with_capacity(cls, _m, _n, gap_open, gap_extend, match_fn):
-        return cls(gap_open, gap_extend, match_fn)
+    def with_capacity(cls, _m, _n, gap_open, gap_extend, match_fn,
+                      match_scores=None):
+        return cls(gap_open, gap_extend, match_fn, match_scores)
 
     def semiglobal(self, x, y) -> Alignment:
         """x aligned end-to-end; y prefix/suffix clipped free."""
@@ -49,6 +55,7 @@ class Aligner:
         m, n = len(x), len(y)
         o, e = self.gap_open, self.gap_extend
         NEG = MIN_SCORE
+        yarr = np.array(y, dtype=np.uint64) if self.match_scores else None
         # DP matrices: best score ending in match (M), gap-in-y consuming x
         # (Ix), gap-in-x consuming y (Iy)
         M = np.full((m + 1, n + 1), NEG, dtype=np.int64)
@@ -57,21 +64,27 @@ class Aligner:
         M[0, :] = 0  # free y-prefix clip
         for i in range(1, m + 1):
             Ix[i, 0] = o + e * i
+        cols = np.arange(n + 1, dtype=np.int64)
         for i in range(1, m + 1):
             xi = x[i - 1]
             prev_best = np.maximum(np.maximum(M[i - 1], Ix[i - 1]), Iy[i - 1])
             # Ix: vertical (consume x)
             Ix[i, :] = np.maximum(Ix[i - 1] + e, prev_best + o + e)
-            sub = np.fromiter(
-                (self.match_fn(xi, yj) for yj in y), dtype=np.int64, count=n
-            )
+            if yarr is not None:
+                mt, mm = self.match_scores
+                sub = np.where(yarr == np.uint64(xi), mt, mm)
+            else:
+                sub = np.fromiter(
+                    (self.match_fn(xi, yj) for yj in y), dtype=np.int64,
+                    count=n,
+                )
             M[i, 1:] = prev_best[:-1] + sub
-            # Iy: horizontal (consume y) — sequential along j
-            row_best_candidates = np.maximum(M[i], Ix[i])
-            iy = NEG
-            for j in range(1, n + 1):
-                iy = max(iy + e, row_best_candidates[j - 1] + o + e)
-                Iy[i, j] = iy
+            # Iy: horizontal (consume y): affine prefix-max closure
+            #   Iy[j] = max_{j'<j} rbc[j'] + o + e*(j-j')
+            rbc = np.maximum(M[i], Ix[i])
+            keyed = rbc + o - e * cols
+            run = np.maximum.accumulate(keyed)
+            Iy[i, 1:] = run[:-1] + e * cols[1:]
 
         final = np.maximum(np.maximum(M[m], Ix[m]), Iy[m])
         yend = int(final.argmax())

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 from . import pairwise
 
 MIN_SCORE = -858_993_459
@@ -93,6 +95,115 @@ class PoaGraph:
 
     # ---------------- alignment ----------------
     def semiglobal(self, query) -> Alignment:
+        """Dispatch: vectorized row-sweep when gap open == extend (the
+        reference's and our default scoring), else the general loop.  Both
+        produce identical Alignments (tie-break parity tested in
+        tests/test_poa.py)."""
+        if self.gap_open == self.gap_extend:
+            return self._semiglobal_vec(query)
+        return self._semiglobal_loop(query)
+
+    def _semiglobal_vec(self, query) -> Alignment:
+        """Row-sweep DP: one wavefront per topo node, vectorized over query
+        columns.  With gap open == extend the predecessor-op-dependent gap
+        penalty (poa.rs:639-689) is a constant, so the within-row insertion
+        recurrence closes into a prefix max and each candidate row is pure
+        vector work.  Tie-breaking matches _semiglobal_loop exactly: the
+        first strictly-greater candidate in [M(p0), D(p0), M(p1), D(p1), ...]
+        order wins, and I wins only when strictly greater."""
+        m = len(query)
+        n = len(self.weights)
+        ge = self.gap_extend
+        qarr = np.asarray([int(q) for q in query], dtype=np.uint64)
+        cols = np.arange(m + 1, dtype=np.int32)
+        # kind codes: 0=M, 1=D, 2=I; pred -1 encodes None
+        score = np.empty((n + 1, m + 1), dtype=np.int32)
+        kind = np.empty((n + 1, m + 1), dtype=np.int8)
+        pred = np.full((n + 1, m + 1), -1, dtype=np.int32)
+        score[0] = cols * ge          # query prefix gap (poa.rs:800-805)
+        kind[0] = 2                   # ("I", None)
+        kind[0, 0] = 0                # ("M", None, None)
+        score[:, 0] = 0               # start anywhere in the graph
+        kind[1:, 0] = 1               # ("D", None, None)
+
+        base = np.empty(m + 1, dtype=np.int32)
+        for node in self.topo_order():
+            i = node + 1
+            r = self.weights[node]
+            prevs = self.pred[node]
+            sub = np.where(qarr == np.uint64(r), self.match, self.mismatch) \
+                .astype(np.int32)
+            if not prevs:
+                cand = score[0, :m] + sub      # ("M", None, None) only
+                k_md = np.zeros(m, dtype=np.int8)
+                p_md = np.full(m, -1, dtype=np.int32)
+            else:
+                stack = np.empty((2 * len(prevs), m), dtype=np.int32)
+                for t, p in enumerate(prevs):
+                    stack[2 * t] = score[p + 1, :m] + sub
+                    stack[2 * t + 1] = score[p + 1, 1:] + ge
+                arg = stack.argmax(axis=0)     # first max = loop's tie-break
+                cand = stack[arg, np.arange(m)]
+                k_md = (arg & 1).astype(np.int8)
+                p_md = np.asarray(prevs, dtype=np.int32)[arg >> 1]
+            # insertion closure: row[j] = max(cand[j], row[j-1] + ge)
+            base[0] = 0
+            base[1:] = cand
+            keyed = base - cols * ge
+            np.maximum.accumulate(keyed, out=keyed)
+            row = keyed + cols * ge
+            is_ins = row[1:] > cand            # I wins only strictly
+            score[i] = row
+            kind[i, 1:] = np.where(is_ins, np.int8(2), k_md)
+            pred[i, 1:] = np.where(is_ins, np.int32(node), p_md)
+
+        self._tb_arrays = (score, kind, pred, m)
+        return self._traceback_vec()
+
+    def _traceback_vec(self) -> Alignment:
+        score, kind, pred, m = self._tb_arrays
+        terminals = [v for v in range(len(self.weights)) if not self.succ[v]]
+        best_i, best_s = None, None
+        for v in terminals:  # last max wins (Rust max_by semantics)
+            s = score[v + 1][m]
+            if best_s is None or s >= best_s:
+                best_s, best_i = int(s), v + 1
+        i, j = best_i, m
+
+        def tup(i, j):
+            k = int(kind[i, j])
+            p = int(pred[i, j])
+            if k == 0:
+                return ("M", None, None) if p < 0 else ("M", p, i - 1)
+            if k == 1:
+                return ("D", None, None) if p < 0 else ("D", p, i - 1)
+            return ("I", None) if p < 0 else ("I", p)
+
+        ops = []
+        while i > 0 and j > 0:
+            o = tup(i, j)
+            ops.append(o)
+            k = o[0]
+            if k == "M" and o[1] is not None:
+                i = o[1] + 1
+                j -= 1
+            elif k == "D" and o[1] is not None:
+                i = o[1] + 1
+            elif k == "I" and o[1] is not None:
+                i = o[1] + 1
+                j -= 1
+            elif k == "M":
+                j -= 1
+                break
+            elif k == "D":
+                break
+            else:  # ("I", None)
+                i -= 1
+                j -= 1
+        return Alignment(score=int(score[best_i][m]), ystart=j,
+                         operations=ops[::-1])
+
+    def _semiglobal_loop(self, query) -> Alignment:
         query = [int(q) for q in query]
         n = len(self.weights)
         m = len(query)
@@ -258,7 +369,8 @@ def consensus_boundary(cns, cns_es, orig):
     if not cns:
         return [], []
     score = lambda a, b: 1 if a == b else -1  # noqa: E731
-    aligner = pairwise.Aligner.with_capacity(len(orig), len(cns), -1, -1, score)
+    aligner = pairwise.Aligner.with_capacity(len(orig), len(cns), -1, -1,
+                                            score, match_scores=(1, -1))
     aln = aligner.semiglobal(list(orig), list(cns))
     if aln.yend - aln.ystart < 2:
         return [], []

@@ -31,7 +31,8 @@ def _make_scores_fn():
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=("gap", "match", "mismatch"))
-    def scores(template, queries, qlens, gap=-1, match=1, mismatch=-1):
+    def scores(template, tvalid, queries, qlens, gap=-1, match=1,
+               mismatch=-1):
         B, Q = queries.shape
         jq = jnp.arange(Q, dtype=jnp.int32)
         valid = jq[None, :] < qlens[:, None]
@@ -39,7 +40,8 @@ def _make_scores_fn():
             [jnp.zeros((1,), jnp.int32), (jq + 1).astype(jnp.int32)]
         )  # column index 0..Q
 
-        def step(prev, t_sym):                   # prev: [B, Q+1]
+        def step(prev, t_row):                   # prev: [B, Q+1]
+            t_sym, t_ok = t_row
             sub = jnp.where(queries == t_sym, match, mismatch)
             sub = jnp.where(valid, sub, NEG)
             diag = prev[:, :-1] + sub            # match into column j+1
@@ -53,13 +55,14 @@ def _make_scores_fn():
             run = jax.lax.associative_scan(jnp.maximum, keyed, axis=1)
             row = jnp.maximum(base, run + cols[None, :] * gap)
             row = row.at[:, 0].set(0)            # start anywhere in template
+            row = jnp.where(t_ok, row, prev)     # padded template rows: no-op
             return row, None
 
         row0 = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.int32),
              jnp.broadcast_to((jq[None, :] + 1) * gap, (B, Q))], axis=1
         )
-        last_row, _ = jax.lax.scan(step, row0, template)
+        last_row, _ = jax.lax.scan(step, row0, (template, tvalid))
         # the POA semiglobal ends at the terminal node (linear template: its
         # last position) with the query fully consumed (poa.rs:459-467)
         return jnp.take_along_axis(last_row, qlens[:, None], axis=1)[:, 0]
@@ -80,14 +83,23 @@ def semiglobal_scores_batch(template, queries_list, gap=-1, match=1,
         return np.zeros(0, dtype=np.int32)
     if _scores_fn is None:
         _scores_fn = _make_scores_fn()
-    Q = max(8, (max(len(q) for q in queries_list) + 7) & ~7)
+    # coarse shape buckets (powers of two) so varying per-read candidate
+    # counts and lengths hit a handful of compiled programs, not one each
     B = len(queries_list)
-    qs = np.zeros((B, Q), dtype=np.uint64)
-    qlens = np.zeros(B, dtype=np.int32)
+    Bp = max(8, 1 << (B - 1).bit_length())
+    Q = max(16, 1 << (max(len(q) for q in queries_list) - 1).bit_length())
+    T = max(16, 1 << (len(template) - 1).bit_length())
+    qs = np.zeros((Bp, Q), dtype=np.uint64)
+    qlens = np.zeros(Bp, dtype=np.int32)
     for i, q in enumerate(queries_list):
         qs[i, : len(q)] = np.asarray(q, dtype=np.uint64)
         qlens[i] = len(q)
-    t = np.asarray(template, dtype=np.uint64)
-    out = _scores_fn(jnp.asarray(t), jnp.asarray(qs), jnp.asarray(qlens),
-                     gap=gap, match=match, mismatch=mismatch)
-    return np.asarray(out)
+    # padded template rows are masked no-ops inside the kernel (tvalid)
+    t = np.full(T, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    t[: len(template)] = np.asarray(template, dtype=np.uint64)
+    tvalid = np.zeros(T, dtype=np.bool_)
+    tvalid[: len(template)] = True
+    out = _scores_fn(jnp.asarray(t), jnp.asarray(tvalid), jnp.asarray(qs),
+                     jnp.asarray(qlens), gap=gap, match=match,
+                     mismatch=mismatch)
+    return np.asarray(out)[:B]

@@ -280,10 +280,10 @@ def _minimizers_preparation_dense(params):
     for start in range(0, total, chunk):
         ids = np.arange(start, min(start + chunk, total), dtype=np.uint64)
         codes = np.empty((len(ids), l), dtype=np.uint8)
-        v = ids.copy()
-        for j in range(l - 1, -1, -1):
-            codes[:, j] = (v % np.uint64(4)).astype(np.uint8)
-            v //= np.uint64(4)
+        for j in range(l):
+            codes[:, j] = (
+                (ids >> np.uint64(2 * (l - 1 - j))) & np.uint64(3)
+            ).astype(np.uint8)
         rc = comp[codes[:, ::-1]]
         # canonical filter: lmer <= revcomp(lmer); base chars A<C<G<T sort
         # exactly like codes 0..3

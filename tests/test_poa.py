@@ -123,3 +123,72 @@ def test_batched_device_scores_match_poa_linear():
     for q, got in zip(queries, batch):
         expect = g.semiglobal(q).score
         assert int(got) == expect, (q, int(got), expect)
+
+
+def test_poa_vec_matches_loop_fuzz():
+    """_semiglobal_vec must reproduce _semiglobal_loop exactly (score,
+    ystart, operations) on graphs grown through many weaves."""
+    rng = np.random.default_rng(17)
+    for trial in range(8):
+        tlen = int(rng.integers(5, 40))
+        template = [int(x) for x in rng.integers(1, 30, tlen)]
+        g = _mk_graph(template)
+        for _q in range(6):
+            if rng.random() < 0.3:
+                q = [int(x) for x in rng.integers(1, 30, int(rng.integers(3, 40)))]
+            else:
+                a, b = sorted(rng.integers(0, tlen, 2))
+                q = list(template[a : b + 1])
+                for _ in range(int(rng.integers(0, 4))):
+                    q[int(rng.integers(0, len(q)))] = int(rng.integers(1, 30))
+                if rng.random() < 0.3:
+                    q.insert(int(rng.integers(0, len(q))),
+                             int(rng.integers(1, 30)))
+            va = g._semiglobal_vec(q)
+            lo = g._semiglobal_loop(q)
+            assert va.score == lo.score, (trial, q)
+            assert va.ystart == lo.ystart, (trial, q)
+            assert va.operations == lo.operations, (trial, q)
+            spacing = 10
+            seq = "C" * (spacing * len(q) + spacing)
+            pos = [i * spacing for i in range(len(q))]
+            g.add_alignment(va, q, seq, pos)
+
+
+def test_pairwise_iy_closure_matches_loop_oracle():
+    """The affine Iy prefix-max closure == the sequential per-cell loop."""
+    rng = np.random.default_rng(23)
+
+    def oracle(x, y, o, e):
+        m, n = len(x), len(y)
+        NEG = pairwise.MIN_SCORE
+        M = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+        Ix = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+        Iy = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+        M[0, :] = 0
+        for i in range(1, m + 1):
+            Ix[i, 0] = o + e * i
+        for i in range(1, m + 1):
+            xi = x[i - 1]
+            prev_best = np.maximum(np.maximum(M[i - 1], Ix[i - 1]), Iy[i - 1])
+            Ix[i, :] = np.maximum(Ix[i - 1] + e, prev_best + o + e)
+            sub = np.fromiter((1 if xi == yj else -1 for yj in y),
+                              dtype=np.int64, count=n)
+            M[i, 1:] = prev_best[:-1] + sub
+            rbc = np.maximum(M[i], Ix[i])
+            iy = NEG
+            for j in range(1, n + 1):
+                iy = max(iy + e, rbc[j - 1] + o + e)
+                Iy[i, j] = iy
+        final = np.maximum(np.maximum(M[m], Ix[m]), Iy[m])
+        return int(final.max()), int(final.argmax())
+
+    for o, e in ((-1, -1), (0, -1), (-3, -1), (-2, -2)):
+        for _ in range(6):
+            x = [int(v) for v in rng.integers(1, 8, int(rng.integers(2, 25)))]
+            y = [int(v) for v in rng.integers(1, 8, int(rng.integers(2, 30)))]
+            a = pairwise.Aligner(o, e, score, match_scores=(1, -1))
+            aln = a.semiglobal(x, y)
+            s, yend = oracle(x, y, o, e)
+            assert aln.score == s, (x, y, o, e)
+            assert aln.yend == yend, (x, y, o, e)
