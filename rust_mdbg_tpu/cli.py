@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-reads", type=int, default=0,
                    help="force chunked >HBM counting with this many reads "
                         "per device chunk (0 = auto by input size)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a jax.distributed multi-host run (coordinator "
+                        "from MDBG_COORD/MDBG_NPROCS/MDBG_PROC_ID env, or "
+                        "auto-detected on TPU pods); input is sharded "
+                        "per-host by byte range / file list")
     return p
 
 
@@ -147,6 +152,11 @@ def main(argv=None):
         from .models.correct import assemble_from_postcor
 
         stats = assemble_from_postcor(params, prefix)
+    elif args.multihost:
+        from .parallel.multihost import assemble_multihost, init_distributed
+
+        init_distributed()
+        stats = assemble_multihost(args.reads, params, prefix)
     elif args.mesh:
         from .parallel.pipeline import assemble_sharded
 

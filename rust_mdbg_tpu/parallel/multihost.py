@@ -1,0 +1,327 @@
+"""Multi-host mdBG construction: jax.distributed + per-host sharded reading.
+
+The reference is single-node shared-memory (SURVEY §2); its scale ceiling is
+one machine's cores and RAM.  This driver runs the SAME sharded pipeline as
+parallel/pipeline.py over a global mesh spanning every process connected
+through `jax.distributed` — all_to_all window routing rides ICI within a
+slice and DCN (or TCP/Gloo on CPU hosts) across hosts; no NCCL/MPI analog is
+needed beyond XLA's collectives.
+
+Per-host input sharding (the analog of the reference's per-thread seq_io
+partitioning, main.rs:834-838):
+  - a comma-separated file list is assigned round-robin across hosts;
+  - a single plain FASTA is byte-range split, with each host scanning
+    forward to the next record boundary (">" after newline);
+  - each host parses only its share and keeps only its reads' raw bytes.
+
+Every host drives the same number of collective steps: a host that exhausts
+its share feeds empty batches, and a psum'd "alive" counter ends the loop
+when every host has drained.  Node ids are globally deterministic (per-shard
+exclusive scan, P3), so the per-host `.sequences` shard files
+(`prefix.h<pid>.<shard>.sequences`) and the rank-0 GFA compose into exactly
+the single-host output contract.
+
+Launch recipe (one command per host):
+
+  MDBG_COORD=host0:29500 MDBG_NPROCS=4 MDBG_PROC_ID=<0..3> \
+      python -m rust_mdbg_tpu reads.fa -k 21 -l 14 -d 0.003 \
+          --multihost --prefix out
+
+On Cloud TPU pods, omit the env vars — jax.distributed auto-detects.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..params import Params
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> tuple[int, int]:
+    """Initialize jax.distributed from args or MDBG_* env; returns
+    (process_id, num_processes).  No-op (0, 1) when nothing is configured."""
+    import jax
+
+    coordinator = coordinator or os.environ.get("MDBG_COORD")
+    if num_processes is None and os.environ.get("MDBG_NPROCS"):
+        num_processes = int(os.environ["MDBG_NPROCS"])
+    if process_id is None and os.environ.get("MDBG_PROC_ID"):
+        process_id = int(os.environ["MDBG_PROC_ID"])
+    if coordinator is None and num_processes is None:
+        try:  # TPU pod / Slurm / OpenMPI auto-detection
+            jax.distributed.initialize()
+        except Exception:
+            return 0, 1
+        return jax.process_index(), jax.process_count()
+    jax.distributed.initialize(coordinator, num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def fasta_range_records(path: str, start: int, end: int):
+    """Yield (id, seq_bytes) for records whose '>' byte lies in [start, end).
+
+    Plain (uncompressed) FASTA only: a host seeks to `start`, scans to the
+    next record boundary, and parses past `end` until its last record
+    completes — the standard byte-split that keeps every record exactly once
+    across hosts."""
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        fsize = f.tell()
+        if start >= fsize:
+            return
+        f.seek(start)
+        buf = b""
+        if start > 0:
+            # discard the (possibly partial) record the range starts inside
+            chunk = f.read(1 << 20)
+            while chunk:
+                i = chunk.find(b"\n>")
+                if i >= 0:
+                    buf = chunk[i + 1:]
+                    start += i + 1
+                    break
+                start += len(chunk)
+                chunk = f.read(1 << 20)
+            if not chunk:
+                return
+        pos = start  # byte offset of buf[0]
+        name = None
+        seq_parts: list[bytes] = []
+        done = False
+        while not done:
+            if not buf:
+                buf = f.read(1 << 20)
+                if not buf:
+                    break
+            nl = buf.find(b"\n")
+            if nl < 0:
+                more = f.read(1 << 20)
+                if not more:
+                    nl = len(buf)
+                    buf += b"\n"
+                else:
+                    buf += more
+                    continue
+            line, buf = buf[:nl], buf[nl + 1:]
+            line_start = pos
+            pos += nl + 1
+            line = line.rstrip(b"\r")
+            if line.startswith(b">"):
+                if name is not None:
+                    yield name, b"".join(seq_parts)
+                if line_start >= end:
+                    return  # next record belongs to the following host
+                name = line[1:].split()[0].decode()
+                seq_parts = []
+            elif line:
+                seq_parts.append(line)
+        if name is not None:
+            yield name, b"".join(seq_parts)
+
+
+def _host_inputs(reads_path: str, pid: int, nproc: int):
+    """Resolve this host's input share: (list of (path, start, end))."""
+    if "," in str(reads_path):
+        files = [p for p in str(reads_path).split(",") if p]
+        return [(f, 0, os.path.getsize(f)) for i, f in enumerate(files)
+                if i % nproc == pid]
+    p = str(reads_path)
+    if p.endswith((".gz", ".lz4")):
+        raise ValueError(
+            "multihost byte-range splitting needs plain FASTA; pass a "
+            "comma-separated list of files to shard compressed inputs")
+    fsize = os.path.getsize(p)
+    step = (fsize + nproc - 1) // nproc
+    return [(p, pid * step, min(fsize, (pid + 1) * step))]
+
+
+def _host_batches(inputs, B_host: int, L: int):
+    """Yield (codes[B_host, L], lengths, raw_list) from this host's share."""
+    from ..utils.seq import BASE_CODE
+
+    codes = np.full((B_host, L), 5, dtype=np.uint8)
+    lengths = np.zeros(B_host, dtype=np.int32)
+    raw: list[bytes] = []
+    fill = 0
+    for path, start, end in inputs:
+        for _name, seq in fasta_range_records(path, start, end):
+            if len(seq) > L:
+                raise ValueError(
+                    f"read of {len(seq)}bp exceeds staging width {L}; "
+                    "set --max-read-len")
+            c = BASE_CODE[np.frombuffer(seq, dtype=np.uint8)]
+            codes[fill, : len(c)] = c
+            lengths[fill] = len(c)
+            raw.append(seq)
+            fill += 1
+            if fill == B_host:
+                yield codes, lengths, raw
+                codes = np.full((B_host, L), 5, dtype=np.uint8)
+                lengths = np.zeros(B_host, dtype=np.int32)
+                raw = []
+                fill = 0
+    if fill:
+        yield codes, lengths, raw
+
+
+def assemble_multihost(reads_path: str, params: Params, prefix: str) -> dict:
+    """Full multi-host assembly; every participating process calls this."""
+    import jax
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..core.graph import build_gfa
+    from ..io.sequences import remove_stale, write_records_native
+    from ..ops.extract import DeviceExtractor
+    from .mesh import AXIS
+    from .pipeline import make_sharded_pipeline
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    # contiguous per-process device blocks so a host's batch rows are a
+    # contiguous global slice (raw-byte ownership below depends on it)
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    mesh = Mesh(np.array(devs), (AXIS,))
+    n = len(devs)
+    d_local = jax.local_device_count()
+    assert n == nproc * d_local, "uneven device counts per process"
+
+    inputs = _host_inputs(reads_path, pid, nproc)
+    # capacity parameters must be identical on every host: derive them from
+    # the full input spec, not from this host's share
+    if "," in str(reads_path):
+        files = [p for p in str(reads_path).split(",") if p]
+        fsize = sum(os.path.getsize(f) for f in files)
+        probe = files[0]
+    else:
+        fsize = os.path.getsize(str(reads_path))
+        probe = str(reads_path)
+    from ..io import fastx
+
+    mean_len, mx = fastx.read_first_n_reads(probe, 100)
+    L = params.max_read_len or max(1024, ((2 * mx + 511) // 512) * 512)
+    B = ((params.batch_reads + n - 1) // n) * n
+    B_host = B // nproc
+    dev = DeviceExtractor(params)
+    M = dev.capacity(L)
+    W = M - params.k + 1
+    est_reads = max(n * 64, int(3.0 * fsize / max(1, mean_len)))
+    n_rounds_est = (est_reads + B - 1) // B + 2
+    route_cap = max(64, (3 * (B // n) * W) // n)
+    window_cap = n_rounds_est * n * route_cap
+    step, fin, make_buffers, shardings, recv = make_sharded_pipeline(
+        mesh, params, B, L, M, window_cap,
+        node_cap=1 << 20, route_cap=route_cap,
+    )
+    buffers = make_buffers()
+
+    if pid == 0:
+        remove_stale(prefix)
+    multihost_utils.sync_global_devices("mdbg:stale-cleanup")
+
+    raw_reads: list[bytes] = []   # this host's reads, in local row order
+    batches = _host_batches(inputs, B_host, L)
+    offset = 0
+    read_base = 0
+    rounds = 0
+    zeros_c = np.full((B_host, L), 5, dtype=np.uint8)
+    zeros_l = np.zeros(B_host, dtype=np.int32)
+    drops = []
+    while True:
+        nxt = next(batches, None)
+        if nxt is None:
+            codes_h, lens_h = zeros_c, zeros_l
+            alive = 0
+        else:
+            codes_h, lens_h, raw = nxt
+            raw_reads.extend(raw)
+            raw_reads.extend([b""] * (B_host - len(raw)))
+            alive = 1
+        # every host must agree to stop: allgather the alive flags
+        flags = multihost_utils.process_allgather(
+            np.asarray([alive], dtype=np.int32), tiled=True)
+        if int(np.asarray(flags).sum()) == 0:
+            break
+        codes = jax.make_array_from_process_local_data(shardings[0], codes_h)
+        lengths = jax.make_array_from_process_local_data(shardings[1], lens_h)
+        bk, bm, bv, dropped, n_over = step(
+            codes, lengths, *buffers, np.int32(offset), np.uint32(read_base)
+        )
+        buffers = (bk, bm, bv)
+        drops.append((dropped, n_over))
+        offset += recv
+        read_base += B
+        rounds += 1
+        if offset + recv > window_cap:
+            raise RuntimeError("sharded window capacity exceeded")
+    res = fin(*buffers)
+    for d, o in drops:
+        dv = np.asarray(jax.device_get(
+            [s for s in d.addressable_shards][0].data)).reshape(-1)[0]
+        ov = np.asarray(jax.device_get(
+            [s for s in o.addressable_shards][0].data)).reshape(-1)[0]
+        if int(dv) or int(ov):
+            raise RuntimeError("route/extraction overflow in multihost run")
+
+    # global node table on every host (compact: node_cap rows per shard)
+    g = {key: np.asarray(multihost_utils.process_allgather(res[key],
+                                                           tiled=True))
+         for key in ("key_lo", "count", "meta", "vec", "n_pass", "id_base")}
+    n_pass = g["n_pass"].reshape(-1)
+    bases = g["id_base"].reshape(-1)
+    cap = g["key_lo"].reshape(n, -1).shape[1]
+    metas = g["meta"].reshape(n, cap, 5)
+    vecs = g["vec"].reshape(n, cap, params.k)
+    counts = g["count"].reshape(n, cap)
+    idx_all, cnt_all, meta_all, vec_all = [], [], [], []
+    for s in range(n):
+        m = int(n_pass[s])
+        idx_all.append(np.arange(bases[s], bases[s] + m, dtype=np.uint32))
+        cnt_all.append(counts[s, :m])
+        meta_all.append(metas[s, :m])
+        vec_all.append(vecs[s, :m])
+    index = np.concatenate(idx_all) if idx_all else np.zeros(0, np.uint32)
+    count = np.concatenate(cnt_all)
+    meta = np.concatenate(meta_all)
+    vec = np.concatenate(vec_all)
+
+    # .sequences: each host writes the crossing occurrences whose source
+    # read it loaded (global row -> host by contiguous block within a round)
+    if not params.no_basespace and len(index):
+        rows = meta[:, 4].astype(np.int64)
+        host_of = (rows % B) // B_host
+        mine = np.nonzero(host_of == pid)[0]
+        if mine.size:
+            local_row = (rows[mine] // B) * B_host + (rows[mine] % B_host)
+            offsets = np.zeros(len(raw_reads) + 1, dtype=np.int64)
+            np.cumsum([len(r) for r in raw_reads], out=offsets[1:])
+            blob = np.frombuffer(b"".join(raw_reads), dtype=np.uint8)
+            start_a = meta[mine, 3].astype(np.int64)
+            abs_start = offsets[local_row] + start_a
+            abs_end = abs_start + meta[mine, 0].astype(np.int64) \
+                + (params.l - 2)
+            write_records_native(
+                f"{prefix}.h{pid}.sequences", params.k, params.l,
+                index[mine], vec[mine], blob, abs_start, abs_end,
+                (meta[mine, 2] >> 31).astype(np.uint8),
+                (meta[mine, 1] & 0x7FFFFFFF).astype(np.uint16),
+                (meta[mine, 2] & 0x7FFFFFFF).astype(np.uint16))
+
+    stats = dict(nb_reads=int(sum(1 for r in raw_reads if r)),
+                 nb_windows=int(count.sum()), n_devices=n, n_hosts=nproc,
+                 rounds=rounds)
+    if pid == 0:
+        nodes = dict(
+            index=index, abundance=count,
+            seqlen=meta[:, 0].astype(np.uint32),
+            shift0=(meta[:, 1] & 0x7FFFFFFF).astype(np.uint16),
+            shift1=(meta[:, 2] & 0x7FFFFFFF).astype(np.uint16),
+        )
+        stats.update(build_gfa(f"{prefix}.gfa", nodes, vec,
+                               presimp=params.presimp))
+    multihost_utils.sync_global_devices("mdbg:done")
+    return stats
