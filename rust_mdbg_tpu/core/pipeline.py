@@ -233,8 +233,7 @@ def _device_table_eligible(params: Params, read_stats_path) -> bool:
         params.engine in ("auto", "device", "pallas")
         and not params.error_correct
         and not params.reference
-        and not (params.uhs or params.lcp or params.use_syncmers
-                 or params.has_lmer_counts)
+        and not (params.uhs or params.lcp or params.has_lmer_counts)
         and read_stats_path is None
     )
 

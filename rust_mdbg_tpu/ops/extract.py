@@ -28,7 +28,7 @@ from ..utils.seq import BASE_CODE
 
 def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
                     use_pallas=False, compact_output=False,
-                    count_output=False):
+                    count_output=False, syncmer=None):
     import jax.numpy as jnp
 
     from .hpc import hpc_jax, _scatter2d
@@ -48,7 +48,13 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
     # hash + select
     import jax
 
-    if use_pallas and B % 8 == 0 and L % 512 == 0:
+    if syncmer is not None:
+        from .syncmers_device import syncmer_select_jax
+
+        s_mini, sync_bound = syncmer
+        canon, sel = syncmer_select_jax(hpc_codes, hpc_len, l=l, s=s_mini,
+                                        bound=sync_bound)
+    elif use_pallas and B % 8 == 0 and L % 512 == 0:
         from .pallas_kernels import nthash_select_pallas
 
         canon, sel = nthash_select_pallas(hpc_codes, l, hash_bound, hpc_len)
@@ -293,11 +299,13 @@ class DeviceExtractor:
         key = (B, L, M, compact)
         if key not in self._fns:
             p = self.params
+            syncmer = (p.s, p.syncmer_hash_bound) if p.use_syncmers else None
             self._fns[key] = self._jax.jit(
                 functools.partial(
                     _device_extract, l=p.l, k=p.k, hash_bound=p.hash_bound,
                     M=M, already_hpc=p.reads_already_hpc,
-                    use_pallas=self.use_pallas, compact_output=compact,
+                    use_pallas=self.use_pallas and syncmer is None,
+                    compact_output=compact, syncmer=syncmer,
                 )
             )
         return self._fns[key]
@@ -356,7 +364,10 @@ class DeviceExtractor:
         # window buffers and finalize sorts scale with M).
         import math
 
-        rate = min(1.0, p.density * 2) if not p.use_syncmers else 0.2
+        # syncmers: selection needs offset-(t-1) minimum AND hash <= d*4^l,
+        # so the rate is below d; 1.5x margin guards tie-induced clustering
+        rate = (min(1.0, p.density * 2) if not p.use_syncmers
+                else min(1.0, p.density * 1.5 + 8.0 / max(64, L)))
         expect = L * rate
         sigma = math.sqrt(max(1.0, expect * (1 - rate)))
         m = int(max(p.k + 33, expect + 8 * sigma))
@@ -470,8 +481,9 @@ def _merge_host_rows(wb, batch, rows, params):
 
 
 def make_device_extractor(params):
-    if params.use_syncmers or params.uhs or params.lcp or params.has_lmer_counts \
+    if params.uhs or params.lcp or params.has_lmer_counts \
             or params.error_correct:
         # schemes with host-side tables/filters run on the host engine for now
-        raise NotImplementedError("device engine supports the density scheme")
+        raise NotImplementedError(
+            "device engine supports the density and syncmer schemes")
     return DeviceExtractor(params, use_pallas=(params.engine == "pallas"))

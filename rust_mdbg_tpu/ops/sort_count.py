@@ -277,9 +277,12 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int):
     from .extract import _device_extract
 
     W = M - params.k + 1
+    syncmer = (params.s, params.syncmer_hash_bound) if params.use_syncmers \
+        else None
     ek = dict(l=params.l, k=params.k, hash_bound=params.hash_bound, M=M,
               already_hpc=params.reads_already_hpc, count_output=True,
-              use_pallas=(params.engine == "pallas"))
+              use_pallas=(params.engine == "pallas" and syncmer is None),
+              syncmer=syncmer)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def construct(all_codes, all_lengths, buffers, read_base=0):

@@ -85,3 +85,71 @@ def test_device_full_pipeline_matches_host(tmp_path):
     ra = sorted(iter_sequences(pa), key=key)
     rb = sorted(iter_sequences(pb), key=key)
     assert ra == rb
+
+
+class _RandBatch:
+    """Minimal ReadBatch stand-in for synthetic code arrays."""
+
+    def __init__(self, codes, lengths):
+        self.codes = codes
+        self.lengths = lengths
+        self.ids = [f"r{i}" for i in range(len(lengths))]
+        self.raw = []
+        self.start_index = 0
+
+
+def _rand_batch(rng, B=24, L=1024, n_rate=0.01):
+    codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    codes[rng.random((B, L)) < n_rate] = 4  # N bases break runs
+    lengths = rng.integers(L // 3, L + 1, B).astype(np.int32)
+    lengths[0] = 0          # empty row
+    lengths[1] = 5          # shorter than l
+    for b in range(B):
+        codes[b, lengths[b]:] = 5
+    return _RandBatch(codes, lengths)
+
+
+def test_device_syncmers_matches_host_example():
+    p = Params(k=5, l=10, s=4, density=0.05, use_syncmers=True,
+               engine="device")
+    dev = DeviceExtractor(p)
+    saw = 0
+    for batch in _batches(p):
+        wb_h = extract_windows_host(batch, p)
+        wb_d = dev(batch)
+        assert_wb_equal(wb_h, wb_d)
+        saw += wb_h.n_windows
+    assert saw > 0
+
+
+@pytest.mark.parametrize("l,s,density", [
+    (10, 4, 0.05),   # reference defaults
+    (12, 2, 0.2),    # 4-bit s-mer hashes: massive ties stress the
+                     # path-dependent incumbent chain
+    (8, 7, 0.1),     # w = 2: eviction every other step
+    (10, 0, 0.01),   # s=0 "kminmer" mode: every N-free l-mer
+])
+def test_device_syncmers_matches_host_random(l, s, density):
+    rng = np.random.default_rng(l * 100 + s)
+    p = Params(k=4, l=l, s=s, density=density, use_syncmers=True,
+               engine="device")
+    dev = DeviceExtractor(p)
+    batch = _rand_batch(rng)
+    wb_h = extract_windows_host(batch, p)
+    wb_d = dev(batch)
+    assert_wb_equal(wb_h, wb_d)
+    assert wb_h.n_windows > 0
+
+
+def test_device_syncmers_full_pipeline(tmp_path):
+    """Device-table pipeline == host engine end-to-end under --syncmers."""
+    from rust_mdbg_tpu.core.pipeline import assemble
+
+    pa = str(tmp_path / "host")
+    pb = str(tmp_path / "dev")
+    ph = Params(k=5, l=10, s=4, density=0.05, use_syncmers=True,
+                min_kmer_abundance=2, engine="host")
+    sa = assemble(EXAMPLE, ph, pa)
+    sb = assemble(EXAMPLE, ph.replace(engine="device"), pb)
+    assert sa["nb_nodes"] == sb["nb_nodes"] > 0
+    assert open(pa + ".gfa").read() == open(pb + ".gfa").read()
