@@ -56,25 +56,26 @@ def _finalize(b_keys, b_meta, b_vecs, *, minab, node_cap, keep_all):
     lo = jnp.where(valid, b_keys[:, 0], ~jnp.uint64(0))
     hi = jnp.where(valid, b_keys[:, 1], ~jnp.uint64(0))
     occ = jnp.arange(N, dtype=jnp.uint32)
-    slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=3)
+    slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=2, is_stable=True)
     sval = ~((slo == ~jnp.uint64(0)) & (shi == ~jnp.uint64(0)))
     n_valid = sval.sum().astype(jnp.int32)
     prev_lo = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), slo[:-1]])
     prev_hi = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), shi[:-1]])
     head = ((slo != prev_lo) | (shi != prev_hi)) & sval
-    n_unique_all = jnp.sum(head.astype(jnp.int32))
+    csum = jnp.cumsum(head.astype(jnp.int32))
+    n_unique_all = csum[-1]
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
-    hkey = jnp.where(head, iota, n_valid)
-    hkey_s, h_lo, h_hi, h_occ = jax.lax.sort(
-        (hkey, slo, shi, socc), num_keys=1
-    )
-    u_lo = h_lo[:node_cap]
-    u_hi = h_hi[:node_cap]
-    first_occ = h_occ[:node_cap]
-    head_pos = hkey_s[:node_cap]
-    next_head = jnp.concatenate([hkey_s[1 : node_cap + 1]])
-    counts = (next_head - head_pos).astype(jnp.uint32)
+    # binary-search head compaction (see _finalize_compact)
+    targets = jnp.arange(1, node_cap + 2, dtype=jnp.int32)
+    hp_all = jnp.searchsorted(csum, targets).astype(jnp.int32)
+    head_pos = hp_all[:node_cap]
+    next_head = hp_all[1:]
+    hp = jnp.minimum(head_pos, N - 1)
+    u_lo = slo[hp]
+    u_hi = shi[hp]
+    first_occ = socc[hp]
+    counts = (jnp.minimum(next_head, n_valid)
+              - jnp.minimum(head_pos, n_valid)).astype(jnp.uint32)
     cross_sorted_idx = jnp.minimum(
         head_pos.astype(jnp.uint32) + jnp.uint32(minab - 1), jnp.uint32(N - 1)
     )
@@ -115,28 +116,35 @@ def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap,
     lo = b_keys[:, 0]
     hi = b_keys[:, 1]
     occ = jnp.arange(N, dtype=jnp.uint32)
-    slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=3)
+    # stable sort on the 128-bit key alone: equal keys keep ascending
+    # occurrence order, so occ need not be a third sort key
+    slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=2, is_stable=True)
     sval = ~((slo == ~jnp.uint64(0)) & (shi == ~jnp.uint64(0)))
     n_valid = sval.sum().astype(jnp.int32)
     prev_lo = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), slo[:-1]])
     prev_hi = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), shi[:-1]])
     head = ((slo != prev_lo) | (shi != prev_hi)) & sval
-    n_unique_all = jnp.sum(head.astype(jnp.int32))
+    csum = jnp.cumsum(head.astype(jnp.int32))
+    n_unique_all = csum[-1]
 
-    # compact head metadata to the front with a second sort (scatter at these
-    # sizes lowers to a serial loop on TPU); pad key = n_valid so the count of
-    # the final segment comes out right from the position differences
-    iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
-    hkey = jnp.where(head, iota, n_valid)
-    hkey_s, h_lo, h_hi, h_occ = jax.lax.sort(
-        (hkey, slo, shi, socc), num_keys=1
-    )
-    u_lo = h_lo[:node_cap]
-    u_hi = h_hi[:node_cap]
-    first_occ = h_occ[:node_cap]
-    head_pos = hkey_s[:node_cap]
-    next_head = hkey_s[1 : node_cap + 1]
-    counts = (next_head - head_pos).astype(jnp.uint32)
+    # compact the first node_cap heads WITHOUT a second full-N sort: the
+    # position of the i-th head (1-based) is the first index where the
+    # inclusive head-count prefix reaches i — a binary search per output
+    # slot (node_cap * log N gathers, ~100x cheaper than sorting N rows of
+    # 20-byte payload; scatter at these sizes lowers to a serial loop on TPU)
+    targets = jnp.arange(1, node_cap + 2, dtype=jnp.int32)
+    hp_all = jnp.searchsorted(csum, targets).astype(jnp.int32)  # [cap+1], <=N
+    head_pos = hp_all[:node_cap]
+    next_head = hp_all[1:]
+    hp = jnp.minimum(head_pos, N - 1)
+    u_lo = slo[hp]
+    u_hi = shi[hp]
+    first_occ = socc[hp]
+    # segment of the last head ends at n_valid; a missing (i+1)-th head
+    # searches to N which the clamp folds back to n_valid.  Slots past
+    # n_unique_all clamp to zero-length segments -> count 0 -> never pass.
+    counts = (jnp.minimum(next_head, n_valid)
+              - jnp.minimum(head_pos, n_valid)).astype(jnp.uint32)
     # crossing occurrence: (minab-1)-th element of the segment (clamped)
     cross_sorted_idx = jnp.minimum(
         head_pos.astype(jnp.uint32) + jnp.uint32(minab - 1), jnp.uint32(N - 1)
