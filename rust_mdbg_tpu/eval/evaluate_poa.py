@@ -25,7 +25,9 @@ def overlap_len(a, b, s, e) -> int:
     return max(0, min(b, e) - max(a, s))
 
 
-def evaluate(poa_path: str, min_overlap: int = MIN_OVERLAP):
+def parse_poa(poa_path: str):
+    """Parse a `.poa.ec_data` file (template\tread1\tread2..., one line per
+    template, utils/evaluate_poa.py parse_file) into (recruited, all_reads)."""
     recruited: dict[str, list[str]] = {}
     all_reads: dict[str, tuple[int, int]] = {}
     for line in open(poa_path):
@@ -37,19 +39,31 @@ def evaluate(poa_path: str, min_overlap: int = MIN_OVERLAP):
         recruited[template] = parts[1:]
         for r in parts[1:]:
             all_reads.setdefault(r, syn_interval(r))
+    return recruited, all_reads
+
+
+def eval_template(template: str, recruited, all_reads,
+                  min_overlap: int = MIN_OVERLAP):
+    """TP/FP/FN read-id lists for one POA template (eval_poa semantics:
+    truth = reads overlapping the template interval by > min_overlap)."""
+    ts, te = all_reads[template]
+    truth = {
+        r for r, (s, e) in all_reads.items()
+        if r != template and overlap_len(ts, te, s, e) > min_overlap
+    }
+    got = set(recruited[template])
+    return sorted(got & truth), sorted(got - truth), sorted(truth - got)
+
+
+def evaluate(poa_path: str, min_overlap: int = MIN_OVERLAP):
+    recruited, all_reads = parse_poa(poa_path)
 
     totals = dict(tp=0, fp=0, fn=0)
     per_template = {}
-    for template, reads in recruited.items():
-        ts, te = all_reads[template]
-        truth = {
-            r for r, (s, e) in all_reads.items()
-            if r != template and overlap_len(ts, te, s, e) > min_overlap
-        }
-        got = set(reads)
-        tp = len(got & truth)
-        fp = len(got - truth)
-        fn = len(truth - got)
+    for template in recruited:
+        tpl, fpl, fnl = eval_template(template, recruited, all_reads,
+                                      min_overlap)
+        tp, fp, fn = len(tpl), len(fpl), len(fnl)
         per_template[template] = (tp, fp, fn)
         totals["tp"] += tp
         totals["fp"] += fp

@@ -56,6 +56,71 @@ def test_blast_identity_perfect_and_noisy():
     assert blast_identity(ref, ref[10:60][::-1]) == 100.0
 
 
+def _write_ec(path_prefix, records):
+    from rust_mdbg_tpu.io.ec_data import EcWriter
+
+    w = EcWriter(str(path_prefix))
+    for seq_id, transformed in records:
+        w.record(seq_id, "*", transformed, ["m"] * len(transformed),
+                 list(range(len(transformed))))
+    w.close()
+
+
+def test_evaluate_ec_with_poa(tmp_path):
+    """Full evaluate_ec flow: corrected comparison + per-template POA
+    TP/FP/FN with Jaccard/Mash distances + alignment strings
+    (utils/evaluate_ec.py:174-284)."""
+    from rust_mdbg_tpu.eval.evaluate_ec import evaluate, report
+
+    ref = list(range(1000, 1100))
+    t0 = ref[10:60]                      # template == SYN_0, perfect slice
+    noisy = list(t0)
+    noisy[7], noisy[31] = 7777, 8888     # 2 substitutions
+    r1 = ref[15:65]                      # overlapping read (TP if recruited)
+    r2 = list(range(5000, 5050))         # disjoint minimizers (FP)
+    _write_ec(tmp_path / "ref", [("genome", ref)])
+    _write_ec(tmp_path / "reads", [
+        ("SYN_0_0_10000_x", noisy),
+        ("SYN_1_5000_15000_x", r1),
+        ("SYN_2_50000_60000_x", r2),
+    ])
+    _write_ec(tmp_path / "cor", [
+        ("SYN_0_0_10000_x", t0),          # corrected back to perfect
+        ("SYN_1_5000_15000_x", r1),
+        ("SYN_2_50000_60000_x", r2),
+    ])
+    poa = tmp_path / "poa.ec_data"
+    # SYN_0 recruited SYN_1 (true overlap) and SYN_2 (no overlap -> FP)
+    poa.write_text(
+        "SYN_0_0_10000_x\tSYN_1_5000_15000_x\tSYN_2_50000_60000_x\n")
+
+    res = evaluate(str(tmp_path / "ref.ec_data"),
+                   str(tmp_path / "reads.ec_data"),
+                   str(tmp_path / "cor.ec_data"), str(poa))
+    assert res["nb_better"] == 1 and res["nb_worse"] == 0
+    assert res["per_read_corrected"]["SYN_0_0_10000_x"] == 100.0
+    assert res["per_read"]["SYN_0_0_10000_x"] < 100.0
+    g = res["poa"]["SYN_0_0_10000_x"]
+    assert g["tp"]["n"] == 1 and g["fp"]["n"] == 1 and g["fn"]["n"] == 0
+    # TP read truly shares minimizers -> small Jaccard distance; FP shares
+    # none -> distance 1.0 and Mash distance 1.0
+    assert g["tp"]["jac"] < 0.7 < g["fp"]["jac"] == 1.0
+    assert g["fp"]["mash"] == 1.0
+    assert g["tp"]["mash"] < 1.0
+    # alignment strings use the reference's M/X/-/i alphabet
+    assert set(res["aln"]["SYN_0_0_10000_x"]) <= set("MX-i")
+    assert res["aln"]["SYN_0_0_10000_x"].count("X") == 2
+    assert res["aln_corrected"]["SYN_0_0_10000_x"] == "M" * 50
+
+    import io
+
+    buf = io.StringIO()
+    report(res, file=buf)
+    text = buf.getvalue()
+    assert "POA retrieval TP: 1" in text
+    assert "1 reads improved" in text
+
+
 def test_components(tmp_path):
     g = tmp_path / "g.gfa"
     g.write_text(
