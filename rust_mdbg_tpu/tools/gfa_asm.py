@@ -93,6 +93,14 @@ def cut_tips(g: Gfa, max_ext: int, max_bp: int) -> int:
     return len(removed)
 
 
+def drop_short(g: Gfa, min_ovlp: int) -> int:
+    """Remove links whose overlap is below min_ovlp bases (gfatools asm -r,
+    as used by utils/extreme_gfaview:25 `-r 1000`).  Returns links removed."""
+    before = len(g.links)
+    g.links = [lk for lk in g.links if lk[4] >= min_ovlp]
+    return before - len(g.links)
+
+
 def pop_bubbles(g: Gfa, max_dist: int) -> int:
     """One pass of radius-bounded bubble popping from every branching vertex.
     Returns number of segments removed."""
@@ -306,6 +314,9 @@ def main(argv) -> int:
         elif a == "-b":
             i += 1
             ops.append(("b", int(args_in[i])))
+        elif a == "-r":
+            i += 1
+            ops.append(("r", int(args_in[i])))
         elif a == "-u":
             ops.append(("u",))
         elif a in ("-o", "--out"):

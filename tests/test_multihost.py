@@ -96,7 +96,7 @@ def test_multihost_two_processes(tmp_path):
             stderr=subprocess.STDOUT))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=1500)
         outs.append(out.decode())
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
