@@ -142,6 +142,17 @@ def main(argv=None):
 
         return dispatch(argv[0], argv[1:])
     args = build_parser().parse_args(argv)
+    import os
+
+    if args.reads and not os.path.exists(args.reads):
+        print(f"error: input reads file not found: {args.reads}",
+              file=sys.stderr)
+        return 2
+    for attr, label in (("uhs", "--uhs"), ("lcp", "--lcp")):
+        path = getattr(args, attr, None)
+        if path and not os.path.exists(path):
+            print(f"error: {label} file not found: {path}", file=sys.stderr)
+            return 2
     params, prefix = params_from_args(args)
     import time
 

@@ -438,11 +438,24 @@ class DeviceNodeCounter:
         out = self._finalize(*self.buffers)
         n_pass, n_unique, node_overflow = (
             int(x) for x in np.asarray(out["stats3"]))
-        if node_overflow > 0:
-            raise RuntimeError(
-                f"node_cap {self.node_cap} exceeded "
-                f"({n_unique} uniques); raise node_cap"
-            )
+        while node_overflow > 0:
+            # adaptive capacity: each pass reports the exact unique count
+            # over the heads it saw (n_unique is global; n_pass only covers
+            # the first node_cap heads), so grow to fit and re-run — at most
+            # two extra rounds, and only on overflowing runs
+            while self.node_cap < n_unique:
+                self.node_cap *= 2
+            while self.pass_cap < min(max(n_pass, node_overflow),
+                                      self.node_cap):
+                self.pass_cap *= 2
+            self.pass_cap = min(self.pass_cap, self.node_cap)
+            self._finalize = self._jax.jit(functools.partial(
+                _finalize_compact, k=self.k, M=self.M, minab=self.minab,
+                node_cap=self.node_cap, pass_cap=self.pass_cap,
+            ))
+            out = self._finalize(*self.buffers)
+            n_pass, n_unique, node_overflow = (
+                int(x) for x in np.asarray(out["stats3"]))
         if lazy:
             from ..core.device_out import LazyNodes
 

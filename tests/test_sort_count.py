@@ -95,3 +95,36 @@ def test_counter_matches_host_table(minab):
     for i in range(len(res["index"])):
         key = (int(res["key_lo"][i]), int(res["key_hi"][i]))
         assert np.array_equal(res["vec"][i], host_vecs[key])
+
+
+def test_finalize_adaptive_node_cap():
+    """node_cap smaller than the unique-key count: finalize grows and
+    retries instead of raising (VERDICT r1 robustness item)."""
+    rng = np.random.default_rng(3)
+    B, L = 8, 2048
+    p = Params(k=5, l=8, density=0.05, min_kmer_abundance=1,
+               engine="device", batch_reads=B)
+    codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    lengths = np.full((B,), L, dtype=np.int32)
+    dev = DeviceExtractor(p)
+    M = dev.capacity(L)
+
+    def run(node_cap, pass_cap=None):
+        counter = DeviceNodeCounter(k=p.k, M=M, read_cap=B,
+                                    node_cap=node_cap, minab=1,
+                                    pass_cap=pass_cap)
+        construct = make_fused_construct(p, B, L, M, 1)
+        bufs, _n, n_over = construct(codes, lengths, counter.buffers)
+        counter.buffers = bufs
+        assert int(np.asarray(n_over)) == 0
+        return counter.finalize(), counter
+
+    big, _ = run(1 << 14)
+    n_nodes = len(big["index"])
+    assert n_nodes > 64
+    small, c = run(16)           # forces repeated adaptive growth
+    assert c.node_cap >= n_nodes
+    assert np.array_equal(small["key_lo"], big["key_lo"])
+    assert np.array_equal(small["count"], big["count"])
+    tiny_pass, _ = run(1 << 14, pass_cap=8)  # pass_cap-only overflow
+    assert np.array_equal(tiny_pass["key_lo"], big["key_lo"])

@@ -81,3 +81,12 @@ def test_uhs_file_loader(tmp_path):
     filt = uhs_preparation(P, str(f))
     assert filt.check_and_add(ntc64("ACGTACGTAC", 10)) is True
     assert filt.check_and_add(12345) is False
+
+
+def test_cli_missing_input_friendly_error(capsys):
+    from rust_mdbg_tpu.cli import main
+
+    rc = main(["/nonexistent/reads.fa", "-k", "7", "-l", "10",
+               "--density", "0.01"])
+    assert rc == 2
+    assert "not found" in capsys.readouterr().err
