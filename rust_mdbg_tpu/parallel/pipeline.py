@@ -184,6 +184,10 @@ def assemble_sharded(reads_path: str, params, prefix: str,
         route_cap=route_cap,
     )
     buffers = make_buffers()
+    # trust the ALLOCATED capacity, not the requested one: a mismatch would
+    # make the in-loop dynamic_update_slice clamp and silently overwrite
+    # the tail rows
+    window_cap = buffers[0].shape[0] // n
 
     remove_stale(prefix)
     raw_reads: list[bytes] = []
@@ -204,7 +208,24 @@ def assemble_sharded(reads_path: str, params, prefix: str,
         offset += recv
         read_base += B
         if offset + recv > window_cap:
-            raise RuntimeError("sharded window capacity exceeded")
+            # adaptive growth: double every shard's local block in place
+            # (rows stay device-resident and sharded; zero rows are inert
+            # in finalize since their valid bit is unset).  Doubling keeps
+            # the number of distinct compiled shapes logarithmic.
+            def _grow(bk, bm, bv, _cap=window_cap):
+                def pad(x):
+                    return jnp.concatenate(
+                        [x, jnp.zeros((_cap,) + x.shape[1:], x.dtype)],
+                        axis=0)
+                return pad(bk), pad(bm), pad(bv)
+
+            specs = (P(AXIS, None),) * 3
+            buffers = jax.jit(
+                jax.shard_map(_grow, mesh=mesh, in_specs=specs,
+                              out_specs=specs),
+                donate_argnums=(0, 1, 2),
+            )(*buffers)
+            window_cap *= 2
     res = fin(*buffers)
     for d, o in drops:
         if int(np.asarray(d).reshape(-1)[0]) or int(np.asarray(o).reshape(-1)[0]):
