@@ -72,15 +72,55 @@ def _make_scores_fn():
 
 _scores_fn = None
 
+# below this DP volume (B*T*Q cells) the jitted path is pure dispatch/sync
+# overhead (~30 ms/call for ~10^5-cell problems); the identical numpy
+# row-sweep runs in ~0.2 ms.  EC bucket triage (<=80 candidates x ~50-mer
+# templates) always lands here; the device path remains for mega-batches.
+_NP_CUTOFF = 1 << 24
+
+
+def _scores_np(template, queries, qlens, gap, match, mismatch):
+    """Numpy twin of the jitted scan in _make_scores_fn (same recurrence)."""
+    B, Q = queries.shape
+    jq = np.arange(Q)
+    valid = jq[None, :] < qlens[:, None]
+    cols = np.arange(Q + 1, dtype=np.int64)
+    row = np.concatenate(
+        [np.zeros((B, 1), np.int64),
+         np.broadcast_to((jq + 1) * gap, (B, Q))], axis=1).copy()
+    for t_sym in template:
+        sub = np.where(queries == t_sym, match, mismatch)
+        sub = np.where(valid, sub, NEG)
+        diag = row[:, :-1] + sub
+        up = row[:, 1:] + gap
+        cand = np.maximum(diag, up)
+        base = np.concatenate([np.zeros((B, 1), cand.dtype), cand], axis=1)
+        keyed = base - cols[None, :] * gap
+        run = np.maximum.accumulate(keyed, axis=1)
+        row = np.maximum(base, run + cols[None, :] * gap)
+        row[:, 0] = 0
+    return row[np.arange(B), qlens].astype(np.int32)
+
 
 def semiglobal_scores_batch(template, queries_list, gap=-1, match=1,
                             mismatch=-1):
     """Scores of each query (list of int sequences) vs the linear template."""
     global _scores_fn
-    import jax.numpy as jnp
 
     if not queries_list:
         return np.zeros(0, dtype=np.int32)
+    B = len(queries_list)
+    Qmax = max(len(q) for q in queries_list)
+    if B * len(template) * max(1, Qmax) < _NP_CUTOFF:
+        qs = np.zeros((B, Qmax), dtype=np.uint64)
+        qlens = np.zeros(B, dtype=np.int64)
+        for i, q in enumerate(queries_list):
+            qs[i, : len(q)] = np.asarray(q, dtype=np.uint64)
+            qlens[i] = len(q)
+        return _scores_np(np.asarray(template, dtype=np.uint64), qs, qlens,
+                          gap, match, mismatch)
+    import jax.numpy as jnp
+
     if _scores_fn is None:
         _scores_fn = _make_scores_fn()
     # coarse shape buckets (powers of two) so varying per-read candidate

@@ -192,3 +192,23 @@ def test_pairwise_iy_closure_matches_loop_oracle():
             s, yend = oracle(x, y, o, e)
             assert aln.score == s, (x, y, o, e)
             assert aln.yend == yend, (x, y, o, e)
+
+
+def test_scores_np_equals_jitted_path():
+    """The numpy fast path and the jitted scan are the same recurrence."""
+    import numpy as np
+
+    from rust_mdbg_tpu.ops import align
+
+    rng = np.random.default_rng(4)
+    template = [int(x) for x in rng.integers(0, 9, 60)]
+    queries = [[int(x) for x in rng.integers(0, 9, int(rng.integers(3, 70)))]
+               for _ in range(17)]
+    fast = align.semiglobal_scores_batch(template, queries)
+    cut = align._NP_CUTOFF
+    try:
+        align._NP_CUTOFF = 0  # force the jitted path
+        slow = align.semiglobal_scores_batch(template, queries)
+    finally:
+        align._NP_CUTOFF = cut
+    assert np.array_equal(fast, slow)
