@@ -83,7 +83,9 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
         k=params.k, M=M, read_cap=chunk_reads, node_cap=1 << 22,
         minab=params.min_kmer_abundance,
     )
-    construct = make_fused_construct(params, B, L, M, n_batches)
+    packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack); L is 512-aligned
+    construct = make_fused_construct(params, B, L, M, n_batches,
+                                     packed=packed)
     table = NodeTable(
         min_abundance=params.min_kmer_abundance,
         use_bf=params.use_bf,
@@ -108,13 +110,24 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
         if fill == 0:
             return
         with timer.phase("construct"):
-            bufs, _n, n_over = construct(
-                jax.device_put(codes), jax.device_put(lens),
-                counter.buffers, 0,
-            )
+            if packed:
+                from ..ops.pack import pack_codes_np
+
+                pk_h, mk_h = pack_codes_np(codes)
+                staged = (jax.device_put(pk_h), jax.device_put(mk_h))
+            else:
+                staged = jax.device_put(codes)
+            lens_d = jax.device_put(lens)
+            bufs, _n, n_over = construct(staged, lens_d, counter.buffers, 0)
             counter.buffers = bufs
             res = counter.finalize_chunk()
             n_over = int(np.asarray(n_over))
+            # eagerly drop the staged feed (client+device sides): chunk
+            # arrays are the largest per-chunk allocations, and RSS must
+            # stay bounded by ONE chunk regardless of client-side buffering
+            for a in (staged if isinstance(staged, tuple) else (staged,)):
+                a.delete()
+            lens_d.delete()
         if n_over:
             raise RuntimeError(
                 f"{n_over} reads overflowed minimizer capacity; "

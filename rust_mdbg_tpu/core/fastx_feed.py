@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.alloc import full_fast
+
 from ..io import fastx
 
 
@@ -48,7 +50,7 @@ def stream_chunks(path: str, chunk_reads: int, batch_reads: int,
 def _python_chunks(path: str, chunk_reads: int, batch_reads: int,
                    max_len: int):
     """Fallback: accumulate fixed-shape Python batches into chunk arrays."""
-    codes = np.full((chunk_reads, max_len), 5, dtype=np.uint8)
+    codes = full_fast((chunk_reads, max_len), 5, np.uint8)
     lens = np.zeros(chunk_reads, dtype=np.int32)
     raw_list: list[bytes] = []
     fill = 0
@@ -64,7 +66,7 @@ def _python_chunks(path: str, chunk_reads: int, batch_reads: int,
             # over-long singleton batch: flush, then pass it through
             if fill:
                 yield finish()
-                codes = np.full((chunk_reads, max_len), 5, dtype=np.uint8)
+                codes = full_fast((chunk_reads, max_len), 5, np.uint8)
                 lens = np.zeros(chunk_reads, dtype=np.int32)
                 raw_list = []
                 fill = 0
@@ -80,7 +82,7 @@ def _python_chunks(path: str, chunk_reads: int, batch_reads: int,
         fill += n
         if fill == chunk_reads:
             yield finish()
-            codes = np.full((chunk_reads, max_len), 5, dtype=np.uint8)
+            codes = full_fast((chunk_reads, max_len), 5, np.uint8)
             lens = np.zeros(chunk_reads, dtype=np.int32)
             raw_list = []
             fill = 0

@@ -16,6 +16,8 @@ import time
 
 import numpy as np
 
+from ..utils.alloc import full_fast
+
 from ..io import fastx
 from ..io.ec_data import EcWriter
 from ..io.sequences import SequencesWriter, remove_stale
@@ -292,7 +294,7 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     read_base = 0
     n_over_acc = []
 
-    chunk_codes = np.full((CHUNK_BATCHES * B, L), 5, dtype=np.uint8)
+    chunk_codes = full_fast((CHUNK_BATCHES * B, L), 5, np.uint8)
     chunk_len = np.zeros(CHUNK_BATCHES * B, dtype=np.int32)
     fill = 0
 

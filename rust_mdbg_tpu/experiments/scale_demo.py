@@ -1,0 +1,116 @@
+"""10+ Gbp bounded-memory construction demo (VERDICT r1 item 2).
+
+Synthesizes an HG002-like workload — 52x HiFi-length reads over a random
+200 Mbp genome = ~10.4 Gbp of input (the reference's headline run is 114 Gbp
+over a 2.2 Gbp HPC genome in <=10.1 GB RAM, /root/reference/README.md:128) —
+writes it as plain FASTA, then drives the chunked hierarchical counting path
+(core/chunked.py) through the CLI and reports wall time, throughput, and
+maximum RSS.  The point is the memory model: HBM holds one chunk, host RAM
+holds the node table + one chunk of raw bytes, regardless of input size.
+
+Usage:  python -m rust_mdbg_tpu.experiments.scale_demo [--gbp 10.4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+READ_LEN = 24576
+
+
+def synth_fasta(path: str, genome_bp: int, coverage: int, seed: int = 0,
+                read_len: int = READ_LEN) -> int:
+    """Write ~genome_bp*coverage bases of error-free reads; returns bases."""
+    from rust_mdbg_tpu.utils.seq import CODE_BASE
+
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, genome_bp).astype(np.uint8)
+    ascii_genome = CODE_BASE[genome]
+    n_reads = (genome_bp * coverage) // read_len
+    starts = rng.integers(0, genome_bp - read_len, n_reads)
+    t0 = time.perf_counter()
+    with open(path, "wb", buffering=1 << 22) as f:
+        for i, s in enumerate(starts):
+            f.write(b">r%d\n" % i)
+            f.write(ascii_genome[s : s + read_len].tobytes())
+            f.write(b"\n")
+    dt = time.perf_counter() - t0
+    total = n_reads * read_len
+    print(f"synth: {total/1e9:.2f} Gbp in {dt:.0f}s -> {path}", flush=True)
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gbp", type=float, default=10.4,
+                    help="total read gigabases to synthesize")
+    ap.add_argument("--dir", default="/tmp/mdbg_scale")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the FASTA + outputs afterwards")
+    ap.add_argument("--chunk-reads", type=int, default=0,
+                    help="force a chunk size (0 = pipeline auto-detect)")
+    args = ap.parse_args()
+
+    os.makedirs(args.dir, exist_ok=True)
+    coverage = 52
+    genome_bp = int(args.gbp * 1e9 / coverage)
+    reads = os.path.join(args.dir, "reads.fa")
+    total = synth_fasta(reads, genome_bp, coverage)
+
+    prefix = os.path.join(args.dir, "asm")
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    t0 = time.perf_counter()
+    cmd = [sys.executable, "-m", "rust_mdbg_tpu", reads,
+           "-k", "21", "-l", "14", "--density", "0.003", "--minabund", "2",
+           "--engine", "device", "--skiphpc", "--prefix", prefix]
+    if args.chunk_reads:
+        cmd += ["--chunk-reads", str(args.chunk_reads)]
+    env = dict(os.environ,
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run(cmd, env=env, cwd=args.dir,
+                          capture_output=True, text=True)
+    wall = time.perf_counter() - t0
+    sys.stdout.write(proc.stdout[-4000:])
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(proc.returncode)
+    child_rss_gb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1e6
+
+    n_nodes = n_edges = -1
+    for line in proc.stdout.splitlines():
+        if "mdBG nodes" in line:
+            n_nodes = int(line.split()[-1])
+        if "mdBG edges" in line:
+            n_edges = int(line.split()[-1])
+    rec = {
+        "demo": "chunked_10gbp",
+        "total_gbp": round(total / 1e9, 2),
+        "wall_s": round(wall, 1),
+        "gbp_per_s": round(total / 1e9 / wall, 4),
+        "max_rss_gb": round(child_rss_gb, 2),
+        "nodes": n_nodes,
+        "edges": n_edges,
+    }
+    print(json.dumps(rec), flush=True)
+    out = os.path.join(repo, "SCALE_DEMO.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1)
+    if not args.keep:
+        os.unlink(reads)
+        for fn in os.listdir(args.dir):
+            os.unlink(os.path.join(args.dir, fn))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    main()

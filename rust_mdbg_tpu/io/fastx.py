@@ -23,6 +23,8 @@ from typing import Iterator
 
 import numpy as np
 
+from ..utils.alloc import full_fast
+
 from ..utils.seq import BASE_CODE
 
 
@@ -141,7 +143,7 @@ def batches(
         if not buf_ids:
             return None
         B = batch_reads
-        codes = np.full((B, max_len), 5, dtype=np.uint8)
+        codes = full_fast((B, max_len), 5, np.uint8)
         lengths = np.zeros(B, dtype=np.int32)
         for i, s in enumerate(buf_raw):
             c = BASE_CODE[np.frombuffer(s, dtype=np.uint8)]
@@ -160,7 +162,7 @@ def batches(
             if b is not None:
                 yield b
             L = ((len(seq) + max_len - 1) // max_len) * max_len
-            codes = np.full((1, L), 5, dtype=np.uint8)
+            codes = full_fast((1, L), 5, np.uint8)
             c = BASE_CODE[np.frombuffer(seq, dtype=np.uint8)]
             codes[0, : len(c)] = c
             yield ReadBatch(

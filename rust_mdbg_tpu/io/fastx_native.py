@@ -22,6 +22,8 @@ import threading
 
 import numpy as np
 
+from ..utils.alloc import full_fast
+
 from ..native import load
 from .fastx import is_fasta
 
@@ -106,11 +108,15 @@ class NativeReader:
         singleton chunks with row shape [1, padded_len] (same contract as
         fastx.batches overflow batches)."""
         cap, L = self.chunk_reads, self.max_len
-        codes = np.empty((cap, L), dtype=np.uint8)
+        # np.zeros, NOT np.empty: on this platform first-touch page faults
+        # of malloc'd (empty) memory run ~100x slower than the calloc/zero
+        # path (20 s vs 0.2 s for a 400 MB chunk buffer) and dominate the
+        # whole ingest otherwise
+        codes = np.zeros((cap, L), dtype=np.uint8)
         lengths = np.zeros(cap, dtype=np.int32)
-        raw = np.empty(self._raw_cap, dtype=np.uint8)
+        raw = np.zeros(self._raw_cap, dtype=np.uint8)
         raw_off = np.zeros(cap + 1, dtype=np.int64)
-        ids = np.empty(self._ids_cap, dtype=np.uint8)
+        ids = np.zeros(self._ids_cap, dtype=np.uint8)
         ids_off = np.zeros(cap + 1, dtype=np.int32)
         status = np.zeros(1, dtype=np.int32)
         n = self._lib.fx_next(
@@ -140,8 +146,8 @@ class NativeReader:
         if ln < 0:
             raise ValueError("truncated over-long FASTX record")
         Lp = ((int(ln) + self.max_len - 1) // self.max_len) * self.max_len
-        raw = np.empty(int(ln), dtype=np.uint8)
-        codes = np.full((1, Lp), 5, dtype=np.uint8)
+        raw = np.zeros(int(ln), dtype=np.uint8)
+        codes = full_fast((1, Lp), 5, np.uint8)
         idb = np.empty(4096, dtype=np.uint8)
         idl = np.zeros(1, dtype=np.int32)
         got = self._lib.fx_long(self._h, self._ptr(raw), self._ptr(codes),

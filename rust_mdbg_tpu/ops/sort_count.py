@@ -267,7 +267,8 @@ def _gather_window_meta(b_mh, b_mp, occs, *, k, M):
     return canon_vec, meta
 
 
-def make_fused_construct(params, B: int, L: int, M: int, n_batches: int):
+def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
+                         packed: bool = False):
     """One-dispatch construction: fori_loop over n_batches batches of staged
     device reads, extracting window keys + minimizer rows and appending into
     the counter buffers.
@@ -278,11 +279,17 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int):
 
     Returns jitted fn(all_codes [n_batches*B, L] u8, all_lengths [n_batches*B]
     i32, buffers, read_base) -> (buffers, n_windows, n_overflow_reads).
+
+    packed=True: all_codes arrives as (packed [n*B, L//4], mask [n*B, L//8])
+    from ops.pack.pack_codes_np — 0.375 B/base on the H2D wire instead of 1,
+    unpacked per batch inside the loop so the full-width byte tensor never
+    materializes in HBM either.
     """
     import jax
     import jax.numpy as jnp
 
     from .extract import _device_extract
+    from .pack import unpack_codes_jax
 
     W = M - params.k + 1
     syncmer = (params.s, params.syncmer_hash_bound) if params.use_syncmers \
@@ -300,7 +307,13 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int):
 
         def body(i, carry):
             (b_keys, b_mh, b_mp), n_over = carry
-            codes = jax.lax.dynamic_slice(all_codes, (i * B, 0), (B, L))
+            if packed:
+                pk, mk = all_codes
+                p_b = jax.lax.dynamic_slice(pk, (i * B, 0), (B, L // 4))
+                m_b = jax.lax.dynamic_slice(mk, (i * B, 0), (B, L // 8))
+                codes = unpack_codes_jax(p_b, m_b)
+            else:
+                codes = jax.lax.dynamic_slice(all_codes, (i * B, 0), (B, L))
             lengths = jax.lax.dynamic_slice(all_lengths, (i * B,), (B,))
             out = _device_extract(codes, lengths, **ek)
             row0 = read_base + i * B

@@ -36,6 +36,8 @@ import os
 
 import numpy as np
 
+from ..utils.alloc import full_fast
+
 from ..params import Params
 
 
@@ -144,7 +146,7 @@ def _host_batches(inputs, B_host: int, L: int):
     """Yield (codes[B_host, L], lengths, raw_list) from this host's share."""
     from ..utils.seq import BASE_CODE
 
-    codes = np.full((B_host, L), 5, dtype=np.uint8)
+    codes = full_fast((B_host, L), 5, np.uint8)
     lengths = np.zeros(B_host, dtype=np.int32)
     raw: list[bytes] = []
     fill = 0
@@ -161,7 +163,7 @@ def _host_batches(inputs, B_host: int, L: int):
             fill += 1
             if fill == B_host:
                 yield codes, lengths, raw
-                codes = np.full((B_host, L), 5, dtype=np.uint8)
+                codes = full_fast((B_host, L), 5, np.uint8)
                 lengths = np.zeros(B_host, dtype=np.int32)
                 raw = []
                 fill = 0
@@ -228,7 +230,7 @@ def assemble_multihost(reads_path: str, params: Params, prefix: str) -> dict:
     offset = 0
     read_base = 0
     rounds = 0
-    zeros_c = np.full((B_host, L), 5, dtype=np.uint8)
+    zeros_c = full_fast((B_host, L), 5, np.uint8)
     zeros_l = np.zeros(B_host, dtype=np.int32)
     drops = []
     while True:

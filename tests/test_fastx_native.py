@@ -162,3 +162,18 @@ def test_raw_cap_short_chunks(tmp_path):
 def test_missing_file():
     with pytest.raises(FileNotFoundError):
         NativeReader("/nonexistent/file.fa", 4, 128)
+
+
+def test_pack_roundtrip():
+    """2-bit pack/unpack roundtrip incl. N and pad codes (ops/pack)."""
+    import numpy as np
+
+    from rust_mdbg_tpu.ops.pack import pack_codes_np, unpack_codes_jax
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 6, (7, 64)).astype(np.uint8)  # 0..3, N=4, pad=5
+    packed, mask = pack_codes_np(codes)
+    assert packed.shape == (7, 16) and mask.shape == (7, 8)
+    out = np.asarray(unpack_codes_jax(packed, mask))
+    want = np.where(codes > 3, 5, codes)  # any invalid code unpacks as 5
+    assert np.array_equal(out, want)
