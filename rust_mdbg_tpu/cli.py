@@ -189,6 +189,8 @@ def main(argv=None):
         )
     from .utils.timing import max_rss_bytes
 
+    if stats.get("phases"):
+        print(f"PHASES {stats['phases']}")
     print(f"Total execution time: {time.time() - t0:.2f}s")
     print(f"Maximum RSS: {max_rss_bytes() / 1024**3:.3f}GB")
     return 0

@@ -102,22 +102,13 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     vec_ids: list[np.ndarray] = []
     vec_arrs: list[np.ndarray] = []
 
-    def flush_chunk(codes, lens, blob, blob_off, fill):
+    def flush_chunk(staged, lens_d, blob, blob_off, fill):
         """One chunk through: device reduce -> native merge -> crossing
-        gather -> .sequences shard.  codes/lens are full chunk-shaped arrays
-        (rows >= fill masked by lens == 0)."""
+        gather -> .sequences shard.  staged/lens_d are device arrays (the
+        H2D transfer happened in the staging thread, overlapped with the
+        previous chunk's device work)."""
         nonlocal chunk_i, nb_windows
-        if fill == 0:
-            return
         with timer.phase("construct"):
-            if packed:
-                from ..ops.pack import pack_codes_np
-
-                pk_h, mk_h = pack_codes_np(codes)
-                staged = (jax.device_put(pk_h), jax.device_put(mk_h))
-            else:
-                staged = jax.device_put(codes)
-            lens_d = jax.device_put(lens)
             bufs, _n, n_over = construct(staged, lens_d, counter.buffers, 0)
             counter.buffers = bufs
             res = counter.finalize_chunk()
@@ -146,10 +137,12 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
             shift0 = (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16)
             shift1 = (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16)
             rev = (meta[:, 2] >> 31).astype(np.uint8)
-            table.set_meta_batch(res["key_lo"][cross], res["key_hi"][cross],
-                                 seqlen, shift0, shift1)
-            vec_ids.append(index[cross].copy())
-            vec_arrs.append(vec)
+            with timer.phase("meta"):
+                table.set_meta_batch(res["key_lo"][cross],
+                                     res["key_hi"][cross],
+                                     seqlen, shift0, shift1)
+                vec_ids.append(index[cross].copy())
+                vec_arrs.append(vec)
             if not params.no_basespace:
                 with timer.phase("sequences"):
                     start = meta[:, 3].astype(np.int64)
@@ -160,18 +153,49 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                         f"{prefix}.{chunk_i}.sequences", params.k, params.l,
                         index[cross], vec, blob, abs_start, abs_end, rev,
                         shift0, shift1)
-        counter.reset_chunk()
+        with timer.phase("reset"):
+            counter.reset_chunk()
         chunk_i += 1
 
     from .fastx_feed import stream_chunks
 
-    with timer.phase("stream"):
-        for codes, lens, blob, blob_off, fill in stream_chunks(
-                reads_path, chunk_reads, B, L, mean_len):
+    it = iter(stream_chunks(reads_path, chunk_reads, B, L, mean_len))
+
+    def fetch_and_stage():
+        """Pull the next parsed chunk and push it over the H2D link.
+
+        Synchronous by design: overlapping the next chunk's transfer with
+        device work from a second thread was measured SLOWER through this
+        environment's single-stream device link (bulk transfers queue ahead
+        of compute dispatches and stall them); the parse itself already
+        overlaps via the stream_chunks prefetch thread."""
+        while True:
+            tup = next(it, None)
+            if tup is None:
+                return None
+            codes, lens, blob, blob_off, fill = tup
+            if fill == 0:
+                continue
             if codes.shape[1] != L:
                 raise RuntimeError("read longer than staging width")
-            nb_reads += fill
-            flush_chunk(codes, lens, blob, blob_off, fill)
+            if packed:
+                from ..ops.pack import pack_codes_np
+
+                pk_h, mk_h = pack_codes_np(codes)
+                staged = (jax.device_put(pk_h), jax.device_put(mk_h))
+            else:
+                staged = jax.device_put(codes)
+            lens_d = jax.device_put(lens)
+            return staged, lens_d, blob, blob_off, fill
+
+    with timer.phase("stream"):
+        while True:
+            with timer.phase("feed-wait"):
+                item = fetch_and_stage()
+            if item is None:
+                break
+            nb_reads += item[4]
+            flush_chunk(*item)
 
     stats["nb_reads"] = nb_reads
     stats["nb_windows"] = nb_windows

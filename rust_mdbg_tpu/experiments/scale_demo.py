@@ -91,6 +91,10 @@ def main() -> None:
             n_nodes = int(line.split()[-1])
         if "mdBG edges" in line:
             n_edges = int(line.split()[-1])
+    phases = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("PHASES "):
+            phases = line[7:]
     rec = {
         "demo": "chunked_10gbp",
         "total_gbp": round(total / 1e9, 2),
@@ -99,6 +103,7 @@ def main() -> None:
         "max_rss_gb": round(child_rss_gb, 2),
         "nodes": n_nodes,
         "edges": n_edges,
+        "phases": phases,
     }
     print(json.dumps(rec), flush=True)
     out = os.path.join(repo, "SCALE_DEMO.json")

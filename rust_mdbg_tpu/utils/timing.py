@@ -34,7 +34,11 @@ class PhaseTimer:
         self.phases.append((name, time.perf_counter() - t0))
 
     def report(self) -> dict:
-        return {name: round(dt, 4) for name, dt in self.phases}
+        """Total seconds per phase name (phases may repeat, e.g. per chunk)."""
+        out: dict[str, float] = {}
+        for name, dt in self.phases:
+            out[name] = out.get(name, 0.0) + dt
+        return {name: round(dt, 4) for name, dt in out.items()}
 
     def total(self) -> float:
         return sum(dt for _, dt in self.phases)
