@@ -286,7 +286,9 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
         k=params.k, M=M, read_cap=read_cap, node_cap=1 << 22,
         minab=params.min_kmer_abundance,
     )
-    construct = make_fused_construct(params, B, L, M, CHUNK_BATCHES)
+    packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack)
+    construct = make_fused_construct(params, B, L, M, CHUNK_BATCHES,
+                                     packed=packed)
 
     remove_stale(prefix)
     raw_reads: list[bytes] = []
@@ -303,9 +305,15 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
         if fill == 0:
             return
         chunk_len[fill:] = 0
+        if packed:
+            from ..ops.pack import pack_codes_np
+
+            pk_h, mk_h = pack_codes_np(chunk_codes)
+            staged = (jax.device_put(pk_h), jax.device_put(mk_h))
+        else:
+            staged = jax.device_put(chunk_codes)
         bufs, _n, n_over = construct(
-            jax.device_put(chunk_codes), jax.device_put(chunk_len),
-            counter.buffers, read_base,
+            staged, jax.device_put(chunk_len), counter.buffers, read_base,
         )
         counter.buffers = bufs
         n_over_acc.append(n_over)

@@ -84,7 +84,7 @@ import sys
 sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})
 from rust_mdbg_tpu.params import Params
 from rust_mdbg_tpu.parallel.multihost import assemble_multihost, init_distributed
-init_distributed("localhost:9777", {pid}, 2)
+init_distributed("localhost:9777", 2, {pid})
 p = Params(k=12, l=12, density=0.003, min_kmer_abundance=2,
            engine="device", batch_reads=16)
 stats = assemble_multihost({reads!r}, p, {reads!r} + ".mh")
