@@ -136,6 +136,7 @@ def main(argv=None):
     if argv and argv[0] in (
         "to-basespace", "gfa-asm", "magic-simplify", "multik", "gfa2fasta",
         "break-loops", "simplify-meta", "gfa-complete", "hpc-compress", "gfa-strip",
+        "extreme-simplify",
         "synth-reads",
     ):
         from .tools import dispatch

@@ -245,6 +245,13 @@ def unitigs(g: Gfa) -> Gfa:
         paths.append((path, circular))
 
     out = Gfa()
+    # per-input-segment nested A-lines (composed through repeated unitig
+    # rounds; tuple layout: (utg, offset, ori, seg, 0, len))
+    sub_alines: dict[str, list] = {}
+    for (seg, aoff, aori, orig, _z, aln) in g.a_lines:
+        # parsed-from-file tuples carry strings (gfa.py keeps A fields raw)
+        sub_alines.setdefault(seg, []).append(
+            (int(aoff), aori, orig, int(str(aln).strip())))
     # vertex -> (utg, ori) maps for link stitching
     start_of: dict[tuple, tuple] = {}
     end_of: dict[tuple, tuple] = {}
@@ -271,7 +278,20 @@ def unitigs(g: Gfa) -> Gfa:
         seq = "".join(merged) if have_seq else None
         out.segments[name] = Segment(name, seq, total if seq is None else len(seq), [])
         for v, off, s in zip(path, offs, segs):
-            out.a_lines.append((name, off, v[1], v[0], 0, s.length))
+            nested = sub_alines.get(v[0])
+            if nested:
+                # input segment is itself a unitig: compose its A-lines so
+                # the output always references ORIGINAL segments (repeated
+                # `-u` rounds, extreme-simplify flow)
+                for (aoff, aori, orig, aln) in nested:
+                    if v[1] == "+":
+                        coff, cori = off + aoff, aori
+                    else:
+                        coff = off + s.length - (aoff + aln)
+                        cori = "-" if aori == "+" else "+"
+                    out.a_lines.append((name, coff, cori, orig, 0, aln))
+            else:
+                out.a_lines.append((name, off, v[1], v[0], 0, s.length))
         start_of[path[0]] = (name, "+")
         start_of[_comp(path[-1])] = (name, "-")
         end_of[path[-1]] = (name, "+")

@@ -139,3 +139,59 @@ def test_reference_example_simplifies_to_one_unitig(tmp_path):
     g = run_ops(Gfa.parse(prefix + ".gfa"), ROUND1, verbose=False)
     assert len(g.segments) == 1
     assert len(g.a_lines) == 104
+
+
+def test_unitig_aline_composition_and_extreme_simplify(tmp_path):
+    """Repeated unitig rounds compose A-lines back to original segments;
+    extreme-simplify drives N rounds end-to-end on a real assembly."""
+    import subprocess
+    import sys
+
+    from rust_mdbg_tpu.tools.gfa import Gfa
+    from rust_mdbg_tpu.tools.gfa_asm import unitigs
+
+    # chain a-b-c: one unitig; unitig it AGAIN -> A-lines must still
+    # reference a/b/c with offsets equal to the single-round result
+    g = Gfa()
+    from rust_mdbg_tpu.tools.gfa import Segment
+    for name, seq in (("a", "ACGTACGT"), ("b", "GTACCCC"), ("c", "CCCTTT")):
+        g.segments[name] = Segment(name, seq, len(seq), [])
+    g.links.append(("a", "+", "b", "+", 2))
+    g.links.append(("b", "+", "c", "+", 3))
+    u1 = unitigs(g)
+    (utg,) = u1.segments.values()
+    u2 = unitigs(u1)
+    (utg2,) = u2.segments.values()
+    assert utg2.seq == utg.seq
+    a1 = sorted((a[3], int(a[1]), a[2]) for a in u1.a_lines)
+    a2 = sorted((a[3], int(a[1]), a[2]) for a in u2.a_lines)
+    assert a1 == a2 == [("a", 0, "+"), ("b", 6, "+"), ("c", 10, "+")]
+
+    # end-to-end CLI flow on the example assembly
+    out = subprocess.run(
+        [sys.executable, "-m", "rust_mdbg_tpu", "/root/reference/example/"
+         "reads-0.00.fa.gz", "-k", "7", "--density", "0.0008", "-l", "10",
+         "--minabund", "2", "--prefix", str(tmp_path / "x")],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env=_env(), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    out = subprocess.run(
+        [sys.executable, "-m", "rust_mdbg_tpu", "extreme-simplify",
+         str(tmp_path / "x"), "2"],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env=_env(), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (tmp_path / "x.2.gfa").exists()
+    assert (tmp_path / "x.2.fa").exists()
+    assert not (tmp_path / "x.1.gfa").exists()  # older round cleaned up
+    fa = (tmp_path / "x.2.fa").read_text()
+    assert fa.startswith(">") and len(fa) > 1000
+
+
+def _env():
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
