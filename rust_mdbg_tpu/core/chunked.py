@@ -70,9 +70,12 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     M = dev.capacity(L)
 
     if chunk_reads <= 0:
-        # target ~0.5 GB of HBM window/minimizer buffers per chunk
+        # target ~0.25 GB of HBM window/minimizer buffers per chunk; host
+        # staging RSS scales with chunk size (parsed codes + raw blob + the
+        # prefetched next chunk), so smaller chunks keep the whole run's
+        # peak near the reference's <=10 GB bar
         per_read = 16 * (M - params.k + 1) + 12 * M
-        chunk_reads = max(B, int(5e8 / per_read) // B * B)
+        chunk_reads = max(B, int(2.5e8 / per_read) // B * B)
     else:
         # small forced chunks (tests): shrink the batch to fit the chunk
         B = min(B, chunk_reads)

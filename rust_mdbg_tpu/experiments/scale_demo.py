@@ -63,7 +63,14 @@ def main() -> None:
     coverage = 52
     genome_bp = int(args.gbp * 1e9 / coverage)
     reads = os.path.join(args.dir, "reads.fa")
-    total = synth_fasta(reads, genome_bp, coverage)
+    n_reads = (genome_bp * coverage) // READ_LEN
+    expect = n_reads * (READ_LEN + len(b">r%d\n\n" % n_reads) + 4)
+    if os.path.exists(reads) and abs(os.path.getsize(reads)
+                                     - expect) < expect * 0.02:
+        total = n_reads * READ_LEN
+        print(f"reusing existing {reads} ({total/1e9:.2f} Gbp)", flush=True)
+    else:
+        total = synth_fasta(reads, genome_bp, coverage)
 
     prefix = os.path.join(args.dir, "asm")
     repo = os.path.dirname(os.path.dirname(

@@ -94,8 +94,10 @@ class NativeReader:
         # size to the observed mean with headroom and let the parser return
         # short chunks if a pathological input overflows
         mean = mean_len_hint or max_len
+        # modest headroom: the parser returns a short chunk when the blob
+        # fills, so over-allocating here only inflates resident memory
         self._raw_cap = max(1 << 20, int(chunk_reads * min(max_len,
-                                                           mean * 2)))
+                                                           int(mean * 1.25))))
         self._ids_cap = max(1 << 16, chunk_reads * 64)
         self._count = 0
 
