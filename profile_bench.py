@@ -62,10 +62,10 @@ def main():
     # finalize, decomposed: device part vs host fetch
     tf0 = time.perf_counter()
     out = counter._finalize(*counter.buffers)
-    np.asarray(out["n_pass"])
+    np.asarray(out["stats3"])
     t_fin_dev = time.perf_counter() - tf0
     tf1 = time.perf_counter()
-    n_pass = int(np.asarray(out["n_pass"]))
+    n_pass = int(np.asarray(out["stats3"])[0])
     cap2 = 1
     while cap2 < max(1, n_pass):
         cap2 <<= 1

@@ -89,7 +89,7 @@ def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
 
     Returns the build_gfa stats dict.
     """
-    from ..core.graph import _fp_pair, _le_rev, build_gfa_precomputed
+    from ..core.graph import IncrementalGFA, _fp_pair, _le_rev
     from ..io.sequences import write_records_native
 
     meta = nodes.fetch("meta")
@@ -105,8 +105,9 @@ def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
     abs_start = row_start_offsets[read_g] + start
     abs_end = abs_start + seqlen + (params.l - 2)
 
-    keys_parts: list[tuple] = []
     writers: list[threading.Thread] = []
+    gfa = IncrementalGFA(cap_hint=n)
+    seqlen32 = meta[:, 0].astype(np.uint32)
 
     shard = 0
     for row0, vec in nodes.vec_chunks():
@@ -121,27 +122,20 @@ def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
             )
             t.start()
             writers.append(t)
-        # overlap-key computation for the GFA edge join (numpy, vectorized)
+        # overlap keys (numpy) + native index build for this chunk, both
+        # hidden under the next chunk's device->host transfer
         suf = vec[:, 1:]
         pre = vec[:, :-1]
         Fs, FsR = _fp_pair(suf)
         Fp, FpR = _fp_pair(pre)
         key_suf = np.where(_le_rev(suf)[:, None], Fs, FsR)
         key_pre = np.where(_le_rev(pre)[:, None], Fp, FpR)
-        keys_parts.append((Fs, Fp, FsR, FpR, key_suf, key_pre))
+        gfa.add_chunk(index[row0:hi], count[row0:hi], seqlen32[row0:hi],
+                      shift0[row0:hi], shift1[row0:hi],
+                      (Fs, Fp, FsR, FpR, key_suf, key_pre))
         shard += 1
 
-    keys6 = tuple(
-        np.concatenate([p[i] for p in keys_parts]) if keys_parts
-        else np.zeros((0, 2), dtype=np.uint64)
-        for i in range(6)
-    )
-    g = build_gfa_precomputed(
-        f"{prefix}.gfa",
-        dict(index=index, abundance=count, seqlen=meta[:, 0].astype(np.uint32),
-             shift0=shift0, shift1=shift1),
-        keys6, presimp=params.presimp,
-    )
+    g = gfa.finish(f"{prefix}.gfa", presimp=params.presimp)
     for t in writers:
         t.join()
     return g

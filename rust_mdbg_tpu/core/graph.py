@@ -63,6 +63,73 @@ def build_gfa_precomputed(path, nodes: dict, keys6: tuple,
     )
 
 
+class IncrementalGFA:
+    """Chunk-fed native GFA builder (gfa_begin/add_chunk/finish).
+
+    The pipelined device-output path feeds each fetched node chunk while the
+    next device->host transfer is in flight; `finish` only enumerates edges
+    and writes the file.  Chunks must arrive in node-id order — S lines and
+    km_index insertion order follow feed order (main.rs:1023-1032)."""
+
+    def __init__(self, cap_hint: int = 0):
+        import ctypes
+
+        from ..native import load
+
+        self._lib = load("gfawriter")
+        self._lib.gfa_begin.restype = ctypes.c_void_p
+        self._lib.gfa_begin.argtypes = [ctypes.c_int64]
+        self._lib.gfa_add_chunk.restype = None
+        self._lib.gfa_add_chunk.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 11)
+        self._lib.gfa_finish.restype = ctypes.c_int64
+        self._lib.gfa_finish.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_void_p]
+        self._lib.gfa_abort.restype = None
+        self._lib.gfa_abort.argtypes = [ctypes.c_void_p]
+        self._h = self._lib.gfa_begin(int(cap_hint))
+        self._ctypes = ctypes
+        self.n_nodes = 0
+
+    def add_chunk(self, index, abundance, seqlen, shift0, shift1, keys6):
+        import numpy as np
+
+        Fs, Fp, FsR, FpR, key_suf, key_pre = keys6
+        arrs = [
+            np.ascontiguousarray(index, dtype=np.uint32),
+            np.ascontiguousarray(abundance, dtype=np.uint32),
+            np.ascontiguousarray(seqlen, dtype=np.uint32),
+            np.ascontiguousarray(shift0, dtype=np.uint16),
+            np.ascontiguousarray(shift1, dtype=np.uint16),
+            np.ascontiguousarray(Fs, dtype=np.uint64),
+            np.ascontiguousarray(Fp, dtype=np.uint64),
+            np.ascontiguousarray(FsR, dtype=np.uint64),
+            np.ascontiguousarray(FpR, dtype=np.uint64),
+            np.ascontiguousarray(key_suf, dtype=np.uint64),
+            np.ascontiguousarray(key_pre, dtype=np.uint64),
+        ]
+        n = len(arrs[0])
+        self._lib.gfa_add_chunk(
+            self._h, n,
+            *[a.ctypes.data_as(self._ctypes.c_void_p) for a in arrs])
+        self.n_nodes += n
+
+    def finish(self, path, presimp: float) -> dict:
+        removed = self._ctypes.c_int64(0)
+        nb = self._lib.gfa_finish(self._h, str(path).encode(), float(presimp),
+                                  self._ctypes.byref(removed))
+        self._h = None
+        if nb < 0:
+            raise RuntimeError(f"gfa_finish failed for {path}")
+        return dict(nb_nodes=self.n_nodes, nb_edges=int(nb),
+                    presimp_removed=int(removed.value))
+
+    def abort(self):
+        if self._h is not None:
+            self._lib.gfa_abort(self._h)
+            self._h = None
+
+
 def _build_gfa_native(path, index, abundance, seqlen, shift0, shift1, varr,
                       presimp, keys6=None) -> dict:
     import ctypes

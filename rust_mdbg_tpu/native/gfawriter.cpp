@@ -6,6 +6,14 @@
 // both are kept and tested against each other).  Overlap equality is tested
 // on 128-bit fingerprints of the raw/reversed prefix & suffix vectors,
 // supplied by the caller.
+//
+// Two entry styles share one Builder:
+//   gfa_write                          — one-shot over complete arrays
+//   gfa_begin/gfa_add_chunk/gfa_finish — incremental: the pipelined
+//     device-output path (core/device_out.py) feeds each fetched node chunk
+//     while the next device->host transfer is in flight, so the S-line
+//     formatting and km_index hash build overlap the relay instead of
+//     serializing after it; finish only enumerates edges and writes.
 
 #include <cstdint>
 #include <cstdio>
@@ -32,44 +40,68 @@ struct PairHash {
     }
 };
 
-}  // namespace
+struct Builder {
+    std::string s_lines;  // S lines, formatted as chunks arrive
+    std::vector<uint32_t> index, abundance, seqlen;
+    std::vector<uint16_t> shift0, shift1;
+    // per-node fingerprints and normalized probe keys, [n, 2] u64 flattened
+    std::vector<uint64_t> fs, fp, fsr, fpr, ksuf, kpre;
+    std::unordered_map<U128, std::vector<uint32_t>, U128Hash> km_index;
+};
 
-extern "C" {
+void add_chunk_impl(Builder* b, int64_t n,
+                    const uint32_t* index, const uint32_t* abundance,
+                    const uint32_t* seqlen,
+                    const uint16_t* shift0, const uint16_t* shift1,
+                    const uint64_t* fs, const uint64_t* fp_,
+                    const uint64_t* fsr, const uint64_t* fpr,
+                    const uint64_t* ksuf, const uint64_t* kpre) {
+    char line[128];
+    int64_t base = (int64_t)b->index.size();
+    b->index.insert(b->index.end(), index, index + n);
+    b->abundance.insert(b->abundance.end(), abundance, abundance + n);
+    b->seqlen.insert(b->seqlen.end(), seqlen, seqlen + n);
+    b->shift0.insert(b->shift0.end(), shift0, shift0 + n);
+    b->shift1.insert(b->shift1.end(), shift1, shift1 + n);
+    b->fs.insert(b->fs.end(), fs, fs + 2 * n);
+    b->fp.insert(b->fp.end(), fp_, fp_ + 2 * n);
+    b->fsr.insert(b->fsr.end(), fsr, fsr + 2 * n);
+    b->fpr.insert(b->fpr.end(), fpr, fpr + 2 * n);
+    b->ksuf.insert(b->ksuf.end(), ksuf, ksuf + 2 * n);
+    b->kpre.insert(b->kpre.end(), kpre, kpre + 2 * n);
+    for (int64_t i = 0; i < n; i++) {
+        snprintf(line, sizeof line, "S\t%u\t*\tLN:i:%u\tKC:i:%u\n",
+                 index[i], seqlen[i], abundance[i]);
+        b->s_lines += line;
+        // insertion order parity: pre then suf per node (main.rs:1023-1032)
+        b->km_index[U128{kpre[2 * i], kpre[2 * i + 1]}].push_back(
+            (uint32_t)(base + i));
+        b->km_index[U128{ksuf[2 * i], ksuf[2 * i + 1]}].push_back(
+            (uint32_t)(base + i));
+    }
+}
 
-// fp arrays are [n, 2] u64 (lo, hi): fs = F(suffix), fp_ = F(prefix),
-// fsr = F(rev suffix), fpr = F(rev prefix), ksuf/kpre = normalized keys.
-// Returns number of edges written, or -1 on error.
-int64_t gfa_write(const char* path, int64_t n,
-                  const uint32_t* index, const uint32_t* abundance,
-                  const uint32_t* seqlen,
-                  const uint16_t* shift0, const uint16_t* shift1,
-                  const uint64_t* fs, const uint64_t* fp_,
-                  const uint64_t* fsr, const uint64_t* fpr,
-                  const uint64_t* ksuf, const uint64_t* kpre,
-                  double presimp, int64_t* out_presimp_removed) {
+int64_t finish_impl(Builder* b, const char* path, double presimp,
+                    int64_t* out_presimp_removed) {
     FILE* f = fopen(path, "wb");
     if (!f) return -1;
     std::string buf;
     buf.reserve(16 << 20);
     buf += "H\tVN:Z:1.0\n";
+    buf += b->s_lines;
+    b->s_lines.clear();
+    b->s_lines.shrink_to_fit();
     char line[128];
-    for (int64_t i = 0; i < n; i++) {
-        snprintf(line, sizeof line, "S\t%u\t*\tLN:i:%u\tKC:i:%u\n",
-                 index[i], seqlen[i], abundance[i]);
-        buf += line;
-        if (buf.size() > (8u << 20)) { fwrite(buf.data(), 1, buf.size(), f); buf.clear(); }
-    }
+    int64_t n = (int64_t)b->index.size();
+    const uint32_t* index = b->index.data();
+    const uint32_t* abundance = b->abundance.data();
+    const uint32_t* seqlen = b->seqlen.data();
+    const uint16_t* shift0 = b->shift0.data();
+    const uint16_t* shift1 = b->shift1.data();
 
-    auto get = [](const uint64_t* a, int64_t i) {
+    auto get = [](const std::vector<uint64_t>& a, int64_t i) {
         return U128{a[2 * i], a[2 * i + 1]};
     };
-
-    std::unordered_map<U128, std::vector<uint32_t>, U128Hash> km_index;
-    km_index.reserve(2 * n);
-    for (int64_t i = 0; i < n; i++) {  // insertion order: pre then suf per node
-        km_index[get(kpre, i)].push_back((uint32_t)i);
-        km_index[get(ksuf, i)].push_back((uint32_t)i);
-    }
 
     struct Edge { uint32_t a, b; char oa, ob; uint32_t ov; };
     std::vector<Edge> edges;
@@ -80,14 +112,16 @@ int64_t gfa_write(const char* path, int64_t n,
     struct Pot { uint32_t j; char oa, ob; };
     std::vector<Pot> pot;
     for (int64_t i = 0; i < n; i++) {
-        U128 fs1 = get(fs, i), fpr1 = get(fpr, i);
-        U128 keys[2] = {get(ksuf, i), get(kpre, i)};
+        U128 fs1 = get(b->fs, i), fpr1 = get(b->fpr, i);
+        // key group order: normalize(suffix) then normalize(prefix)
+        // (main.rs:1056-1075)
+        U128 keys[2] = {get(b->ksuf, i), get(b->kpre, i)};
         for (int ki = 0; ki < 2; ki++) {
-            auto it = km_index.find(keys[ki]);
-            if (it == km_index.end()) continue;
+            auto it = b->km_index.find(keys[ki]);
+            if (it == b->km_index.end()) continue;
             pot.clear();
             for (uint32_t j : it->second) {
-                U128 fp2 = get(fp_, j), fsr2 = get(fsr, j);
+                U128 fp2 = get(b->fp, j), fsr2 = get(b->fsr, j);
                 if (fs1 == fp2) pot.push_back({j, '+', '+'});
                 if (fs1 == fsr2) pot.push_back({j, '+', '-'});
                 if (fpr1 == fp2) pot.push_back({j, '-', '+'});
@@ -141,6 +175,67 @@ int64_t gfa_write(const char* path, int64_t n,
     fclose(f);
     *out_presimp_removed = presimp_removed;
     return nb_edges;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* gfa_begin(int64_t cap_hint) {
+    Builder* b = new Builder();
+    if (cap_hint > 0) {
+        b->index.reserve(cap_hint);
+        b->abundance.reserve(cap_hint);
+        b->seqlen.reserve(cap_hint);
+        b->shift0.reserve(cap_hint);
+        b->shift1.reserve(cap_hint);
+        b->fs.reserve(2 * cap_hint);
+        b->fp.reserve(2 * cap_hint);
+        b->fsr.reserve(2 * cap_hint);
+        b->fpr.reserve(2 * cap_hint);
+        b->ksuf.reserve(2 * cap_hint);
+        b->kpre.reserve(2 * cap_hint);
+        b->km_index.reserve(2 * cap_hint);
+    }
+    return b;
+}
+
+void gfa_add_chunk(void* h, int64_t n,
+                   const uint32_t* index, const uint32_t* abundance,
+                   const uint32_t* seqlen,
+                   const uint16_t* shift0, const uint16_t* shift1,
+                   const uint64_t* fs, const uint64_t* fp_,
+                   const uint64_t* fsr, const uint64_t* fpr,
+                   const uint64_t* ksuf, const uint64_t* kpre) {
+    add_chunk_impl((Builder*)h, n, index, abundance, seqlen, shift0, shift1,
+                   fs, fp_, fsr, fpr, ksuf, kpre);
+}
+
+int64_t gfa_finish(void* h, const char* path, double presimp,
+                   int64_t* out_presimp_removed) {
+    Builder* b = (Builder*)h;
+    int64_t r = finish_impl(b, path, presimp, out_presimp_removed);
+    delete b;
+    return r;
+}
+
+void gfa_abort(void* h) { delete (Builder*)h; }
+
+// fp arrays are [n, 2] u64 (lo, hi): fs = F(suffix), fp_ = F(prefix),
+// fsr = F(rev suffix), fpr = F(rev prefix), ksuf/kpre = normalized keys.
+// Returns number of edges written, or -1 on error.
+int64_t gfa_write(const char* path, int64_t n,
+                  const uint32_t* index, const uint32_t* abundance,
+                  const uint32_t* seqlen,
+                  const uint16_t* shift0, const uint16_t* shift1,
+                  const uint64_t* fs, const uint64_t* fp_,
+                  const uint64_t* fsr, const uint64_t* fpr,
+                  const uint64_t* ksuf, const uint64_t* kpre,
+                  double presimp, int64_t* out_presimp_removed) {
+    Builder b;
+    add_chunk_impl(&b, n, index, abundance, seqlen, shift0, shift1,
+                   fs, fp_, fsr, fpr, ksuf, kpre);
+    return finish_impl(&b, path, presimp, out_presimp_removed);
 }
 
 }  // extern "C"

@@ -107,3 +107,35 @@ def test_native_gfa_matches_python(example_run, tmp_path):
     gb = build_gfa(b, nodes, varr, presimp=0.01, native=False)
     assert ga == gb
     assert open(a).read() == open(b).read()
+
+
+def test_incremental_gfa_matches_oneshot(tmp_path):
+    """Chunk-fed native builder (gfa_begin/add_chunk/finish) is byte-identical
+    to the one-shot gfa_write over the same arrays."""
+    import numpy as np
+
+    from rust_mdbg_tpu.core.graph import (IncrementalGFA, _build_gfa_native,
+                                          _overlap_keys)
+
+    n, k = 5000, 7
+    rng = np.random.default_rng(3)
+    # chained minimizers so (k-1)-overlap edges actually exist
+    minis = rng.integers(0, 2 ** 63, n + k, dtype=np.int64).astype(np.uint64)
+    varr = np.stack([minis[i : i + k] for i in range(n)])
+    keys6 = _overlap_keys(varr)
+    idx = np.arange(n, dtype=np.uint32)
+    ab = rng.integers(2, 50, n).astype(np.uint32)
+    sl = rng.integers(100, 4000, n).astype(np.uint32)
+    s0 = rng.integers(1, 100, n).astype(np.uint16)
+    s1 = rng.integers(1, 100, n).astype(np.uint16)
+    a = str(tmp_path / "oneshot.gfa")
+    b = str(tmp_path / "incremental.gfa")
+    g1 = _build_gfa_native(a, idx, ab, sl, s0, s1, None, 0.01, keys6=keys6)
+    gfa = IncrementalGFA(cap_hint=n)
+    for lo in range(0, n, 777):
+        hi = min(lo + 777, n)
+        gfa.add_chunk(idx[lo:hi], ab[lo:hi], sl[lo:hi], s0[lo:hi], s1[lo:hi],
+                      tuple(arr[lo:hi] for arr in keys6))
+    g2 = gfa.finish(b, presimp=0.01)
+    assert g1 == g2
+    assert open(a).read() == open(b).read()
