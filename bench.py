@@ -79,10 +79,14 @@ def main():
     n_batches = n_reads // B
     M = dev.capacity(L)
     W = M - p.k + 1
+    from rust_mdbg_tpu.ops.sort_count import window_slot_capacity
+
+    W_slot = window_slot_capacity(p, B, L, M)
     counter = DeviceNodeCounter(
         k=p.k, M=M, read_cap=n_reads, node_cap=1 << 18, minab=2,
+        w_slot=W_slot,
     )
-    construct = make_fused_construct(p, B, L, M, n_batches)
+    construct = make_fused_construct(p, B, L, M, n_batches, w_slot=W_slot)
 
     # reads are staged in device HBM (one bulk gather from the device-resident
     # genome); on production TPU hosts the input pipeline feeds over PCIe at

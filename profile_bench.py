@@ -14,7 +14,7 @@ def main():
     from rust_mdbg_tpu.ops.extract import DeviceExtractor
     from rust_mdbg_tpu.params import Params
     from rust_mdbg_tpu.core.graph import build_gfa
-    from rust_mdbg_tpu.ops.sort_count import DeviceNodeCounter, make_fused_construct
+    from rust_mdbg_tpu.ops.sort_count import DeviceNodeCounter, make_fused_construct, window_slot_capacity
     from bench import synth_reads
 
     p = Params(k=21, l=14, density=0.003, min_kmer_abundance=2,
@@ -35,9 +35,10 @@ def main():
     W = M - p.k + 1
     print(f"n_reads={n_reads} n_batches={n_batches} M={M} W={W} "
           f"window_cap={n_batches*B*W}", file=sys.stderr)
+    W_slot = window_slot_capacity(p, B, L, M)
     counter = DeviceNodeCounter(k=p.k, M=M, read_cap=n_reads,
-                                node_cap=1 << 18, minab=2)
-    construct = make_fused_construct(p, B, L, M, n_batches)
+                                node_cap=1 << 18, minab=2, w_slot=W_slot)
+    construct = make_fused_construct(p, B, L, M, n_batches, w_slot=W_slot)
 
     genome_dev = jax.device_put(genome)
     starts_dev = jax.device_put(starts[:n_reads].astype(np.int32))

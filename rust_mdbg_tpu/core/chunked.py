@@ -69,12 +69,14 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     dev = DeviceExtractor(params)
     M = dev.capacity(L)
 
+    from ..ops.sort_count import window_slot_capacity
+
     if chunk_reads <= 0:
         # target ~0.25 GB of HBM window/minimizer buffers per chunk; host
         # staging RSS scales with chunk size (parsed codes + raw blob + the
         # prefetched next chunk), so smaller chunks keep the whole run's
         # peak near the reference's <=10 GB bar
-        per_read = 16 * (M - params.k + 1) + 12 * M
+        per_read = 20 * window_slot_capacity(params, B, L, M) + 12 * M
         chunk_reads = max(B, int(2.5e8 / per_read) // B * B)
     else:
         # small forced chunks (tests): shrink the batch to fit the chunk
@@ -82,13 +84,14 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
         chunk_reads = (chunk_reads // B) * B
     n_batches = chunk_reads // B
 
+    W_slot = window_slot_capacity(params, B, L, M)
     counter = DeviceNodeCounter(
         k=params.k, M=M, read_cap=chunk_reads, node_cap=1 << 22,
-        minab=params.min_kmer_abundance,
+        minab=params.min_kmer_abundance, w_slot=W_slot,
     )
     packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack); L is 512-aligned
     construct = make_fused_construct(params, B, L, M, n_batches,
-                                     packed=packed)
+                                     packed=packed, w_slot=W_slot)
     table = NodeTable(
         min_abundance=params.min_kmer_abundance,
         use_bf=params.use_bf,

@@ -270,9 +270,12 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     est_reads = max(1024, int(1.5 * fsize / max(1, mean_len)))
     read_cap = ((est_reads + B - 1) // B) * B
 
+    from ..ops.sort_count import window_slot_capacity
+
+    W_slot = window_slot_capacity(params, B, L, M)
     # beyond the whole-run HBM budget, switch to bounded-memory chunked
     # counting (exact for minabund <= 2; core/chunked.py)
-    per_read = 16 * W + 12 * M
+    per_read = 20 * W_slot + 12 * M
     if read_cap * per_read > 4e9:
         from .chunked import assemble_device_chunked, chunked_eligible
 
@@ -284,11 +287,11 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
             "(chunked counting is exact only for minabund <= 2)")
     counter = DeviceNodeCounter(
         k=params.k, M=M, read_cap=read_cap, node_cap=1 << 22,
-        minab=params.min_kmer_abundance,
+        minab=params.min_kmer_abundance, w_slot=W_slot,
     )
     packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack)
     construct = make_fused_construct(params, B, L, M, CHUNK_BATCHES,
-                                     packed=packed)
+                                     packed=packed, w_slot=W_slot)
 
     remove_stale(prefix)
     raw_reads: list[bytes] = []

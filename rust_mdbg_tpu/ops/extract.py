@@ -122,7 +122,11 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
         valid_w = (n_min[:, None] > k) & (widx[None, :] < n_min[:, None] - k + 1)
         sentinel = ~jnp.uint64(0)
         keys = jnp.where(valid_w[..., None], keys, sentinel)
-        return dict(keys=keys, mh=minim_hash, mp=minim_pos, overflow=overflow)
+        # per-read valid-window count (windows are a prefix): feeds the
+        # batch-slot compaction in ops/sort_count.make_fused_construct
+        nw = jnp.where(n_min > k, n_min - k + 1, 0).astype(jnp.int32)
+        return dict(keys=keys, mh=minim_hash, mp=minim_pos, nw=nw,
+                    overflow=overflow)
 
     # k-min-mer windows [B, W, k]
     W = M - k + 1

@@ -1,11 +1,13 @@
 """Device-resident k-min-mer counting: accumulate -> sort -> segment-reduce.
 
 The reference's global concurrent hash (DashMap, main.rs:595) is replaced by a
-sort-based counter that lives entirely in device HBM: every batch's window
-KEYS (128-bit canonical fingerprints, computed O(1)/window from prefix sums —
-ops/extract.py count path) are appended to a preallocated [read_cap*W, 2]
-buffer, alongside the compacted per-read minimizer rows mh/mp [read_cap, M].
-A single jitted finalize pass
+sort-based counter that lives entirely in device HBM: every batch's VALID
+window KEYS (128-bit canonical fingerprints, computed O(1)/window from prefix
+sums — ops/extract.py count path) are compacted into fixed per-batch slots of
+a preallocated [read_cap*W_slot, 2] buffer (W_slot ~ 0.6*W at the +8-sigma
+slot size, window_slot_capacity) alongside their original window coordinates
+occ = read_row*W + w [read_cap*W_slot] u32 and the compacted per-read
+minimizer rows mh/mp [read_cap, M].  A single jitted finalize pass
 
   stable-sorts (key_lo, key_hi) with occurrence indices,
   finds segment heads, segment-sums abundances,
@@ -17,8 +19,8 @@ A single jitted finalize pass
   are never materialized per occurrence, so the buffers are ~10x
   smaller than storing [window, k] vectors (8k+20 B/window -> 16 B).
 
-occ -> (read, window) is implicit: window occ lives at read_row*W + w, so
-row = occ // W and w = occ % W.
+occ -> (read, window) decodes as row = occ // W and w = occ % W (W is the
+ORIGINAL per-read window count M - k + 1, not W_slot).
 
 Only the compacted per-node results ever cross the device->host link — the
 axon relay's ~30 MB/s fetch rate makes every byte count.
@@ -99,13 +101,37 @@ def _finalize(b_keys, b_meta, b_vecs, *, minab, node_cap, keep_all):
     return out
 
 
-def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap,
+def window_slot_capacity(params, B: int, L: int, M: int) -> int:
+    """Per-read compacted window slots W_slot for the batch-slot layout.
+
+    Valid windows per read are a PREFIX (window w needs minimizers w..w+k-1),
+    so per-batch compaction packs sum(nw) rows into a fixed B*W_slot slot.
+    Batch sums concentrate: sigma(sum)/B = sigma_read/sqrt(B), so W_slot =
+    E[nw] + 8*sigma_read/sqrt(B) (+pad) is ~1.1x the mean while overflow
+    probability is ~1e-15 per batch; overflowing batches are flagged and the
+    run falls back/raises exactly like minimizer-capacity overflow.  This is
+    what makes the finalize sorts see ~1.7x fewer rows than the padded
+    [B, W] window tensor (ROADMAP round-2 lever)."""
+    import math
+
+    W = M - params.k + 1
+    rate = (min(1.0, params.density * 2) if not params.use_syncmers
+            else min(1.0, params.density * 1.5 + 8.0 / max(64, L)))
+    expect = max(0.0, L * rate - (params.k - 1))
+    sigma = math.sqrt(max(1.0, L * rate * (1 - rate)))
+    w = int(expect + 8.0 * sigma / math.sqrt(max(1, B)) + 9)
+    return max(8, min(W, (w + 7) & ~7))
+
+
+def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab, node_cap,
                       pass_cap):
     """Sort + segment-reduce for the single-chip compact layout.
 
-    b_keys [read_cap*W, 2] (invalid windows pre-set to the sentinel),
-    b_mh/b_mp [read_cap, M].  Crossing-occurrence metadata is reconstructed
-    by gathering k-slices from mh/mp at (occ // W, occ % W).
+    b_keys [read_cap*W_slot, 2] batch-compacted (valid windows packed to the
+    front of each batch slot, sentinel elsewhere), b_occ the matching
+    original window coordinates occ = read_row*W + w, b_mh/b_mp
+    [read_cap, M].  Crossing-occurrence metadata is reconstructed by
+    gathering k-slices from mh/mp at (occ // W, occ % W).
     """
     import jax
     import jax.numpy as jnp
@@ -115,9 +141,10 @@ def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap,
     pass_cap = min(pass_cap, node_cap)
     lo = b_keys[:, 0]
     hi = b_keys[:, 1]
-    occ = jnp.arange(N, dtype=jnp.uint32)
-    # stable sort on the 128-bit key alone: equal keys keep ascending
-    # occurrence order, so occ need not be a third sort key
+    occ = b_occ
+    # stable sort on the 128-bit key alone: buffer order is ascending occ
+    # (batches and windows are appended in read order), so equal keys keep
+    # ascending occurrence order without a third sort key
     slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=2, is_stable=True)
     sval = ~((slo == ~jnp.uint64(0)) & (shi == ~jnp.uint64(0)))
     n_valid = sval.sum().astype(jnp.int32)
@@ -177,7 +204,7 @@ def _finalize_compact(b_keys, b_mh, b_mp, *, k, M, minab, node_cap,
     )
 
 
-def _finalize_chunk(b_keys, *, node_cap):
+def _finalize_chunk(b_keys, b_occ, *, node_cap):
     """Per-chunk reduction for the >HBM chunked-counting path: compact the
     chunk's UNIQUE keys (with per-chunk counts and the window occurrences of
     their first TWO in-chunk appearances) in first-occurrence order.
@@ -198,7 +225,7 @@ def _finalize_chunk(b_keys, *, node_cap):
     node_cap = min(node_cap, N - 1)
     lo = b_keys[:, 0]
     hi = b_keys[:, 1]
-    occ = jnp.arange(N, dtype=jnp.uint32)
+    occ = b_occ
     slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=3)
     sval = ~((slo == ~jnp.uint64(0)) & (shi == ~jnp.uint64(0)))
     n_valid = sval.sum().astype(jnp.int32)
@@ -268,7 +295,7 @@ def _gather_window_meta(b_mh, b_mp, occs, *, k, M):
 
 
 def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
-                         packed: bool = False):
+                         packed: bool = False, w_slot: int | None = None):
     """One-dispatch construction: fori_loop over n_batches batches of staged
     device reads, extracting window keys + minimizer rows and appending into
     the counter buffers.
@@ -277,8 +304,17 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
     ~50-150 ms each through the axon relay, so looping on device is the only
     way to reach compute-bound throughput.
 
+    Each batch's VALID windows (a prefix per read) are compacted into a fixed
+    [B*W_slot] slot before the append (cumsum offsets + one searchsorted
+    gather), carrying the original window coordinate occ = read_row*W + w as
+    a u32 payload — the finalize sorts then run over ~1.7x fewer rows than
+    the padded [B, W] layout.  Batches whose valid-window total exceeds the
+    slot are counted in the overflow return (probability ~1e-15 at the +8
+    sigma/sqrt(B) slot size, window_slot_capacity).
+
     Returns jitted fn(all_codes [n_batches*B, L] u8, all_lengths [n_batches*B]
-    i32, buffers, read_base) -> (buffers, n_windows, n_overflow_reads).
+    i32, buffers, read_base) -> (buffers, n_windows_valid, n_overflow) where
+    n_overflow counts minimizer-capacity reads + window-slot batches.
 
     packed=True: all_codes arrives as (packed [n*B, L//4], mask [n*B, L//8])
     from ops.pack.pack_codes_np — 0.375 B/base on the H2D wire instead of 1,
@@ -291,13 +327,19 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
     from .extract import _device_extract
     from .pack import unpack_codes_jax
 
+    # w_slot MUST match the counter's (DeviceNodeCounter(w_slot=...)) — both
+    # default to the full W (no size reduction, still overflow-free); perf
+    # call sites pass window_slot_capacity(params, B, L, M) to both.
     W = M - params.k + 1
+    W_slot = w_slot if w_slot is not None else W
+    S = B * W_slot
     syncmer = (params.s, params.syncmer_hash_bound) if params.use_syncmers \
         else None
     ek = dict(l=params.l, k=params.k, hash_bound=params.hash_bound, M=M,
               already_hpc=params.reads_already_hpc, count_output=True,
               use_pallas=(params.engine == "pallas" and syncmer is None),
               syncmer=syncmer)
+    sentinel = ~np.uint64(0)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def construct(all_codes, all_lengths, buffers, read_base=0):
@@ -306,7 +348,7 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
         read_base = jnp.asarray(read_base).astype(jnp.int32)
 
         def body(i, carry):
-            (b_keys, b_mh, b_mp), n_over = carry
+            (b_keys, b_occ, b_mh, b_mp), n_win, n_over = carry
             if packed:
                 pk, mk = all_codes
                 p_b = jax.lax.dynamic_slice(pk, (i * B, 0), (B, L // 4))
@@ -317,20 +359,46 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
             lengths = jax.lax.dynamic_slice(all_lengths, (i * B,), (B,))
             out = _device_extract(codes, lengths, **ek)
             row0 = read_base + i * B
+
+            # batch-slot compaction: valid windows are a per-read prefix, so
+            # output position p maps to (row, w) via one searchsorted over
+            # the exclusive cumsum of per-read window counts
+            nw = out["nw"].astype(jnp.int32)                       # [B]
+            offs = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(nw)])      # [B+1]
+            nv = offs[B]
+            pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+            row = jnp.clip(
+                jnp.searchsorted(offs, pos, side="right") - 1, 0, B - 1
+            ).astype(jnp.int32)
+            w = pos - offs[row]
+            valid = pos < jnp.minimum(nv, S)
+            src = jnp.clip(row * W + w, 0, B * W - 1)
+            keys_flat = out["keys"].reshape(B * W, 2)
+            kc = jnp.where(valid[:, None], keys_flat[src], sentinel)
+            occ = jnp.where(
+                valid,
+                ((row0 + row) * W + w).astype(jnp.uint32),
+                jnp.uint32(0xFFFFFFFF),
+            )
+
+            slot0 = (read_base + i * B) * W_slot
             b_keys = jax.lax.dynamic_update_slice(
-                b_keys, out["keys"].reshape(B * W, 2),
-                (row0 * W, jnp.int32(0)))
+                b_keys, kc, (slot0, jnp.int32(0)))
+            b_occ = jax.lax.dynamic_update_slice(b_occ, occ, (slot0,))
             b_mh = jax.lax.dynamic_update_slice(
                 b_mh, out["mh"], (row0, jnp.int32(0)))
             b_mp = jax.lax.dynamic_update_slice(
                 b_mp, out["mp"], (row0, jnp.int32(0)))
-            return (b_keys, b_mh, b_mp), \
-                n_over + out["overflow"].sum().astype(jnp.int32)
+            n_over = (n_over + out["overflow"].sum().astype(jnp.int32)
+                      + (nv > S).astype(jnp.int32))
+            return (b_keys, b_occ, b_mh, b_mp), \
+                n_win + jnp.minimum(nv, S), n_over
 
-        bufs, n_over = jax.lax.fori_loop(
-            0, n_batches, body, (buffers, jnp.int32(0))
+        bufs, n_win, n_over = jax.lax.fori_loop(
+            0, n_batches, body, (buffers, jnp.int32(0), jnp.int32(0))
         )
-        return bufs, jnp.int32(n_batches * B * W), n_over
+        return bufs, n_win, n_over
 
     return construct
 
@@ -338,33 +406,35 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
 class DeviceNodeCounter:
     """Whole-run device-resident counter (single-chip path).
 
-    Capacity model: read_cap reads (each 16·W B keys + 12·M B minimizer rows);
-    HG002-scale runs exceed HBM and use the chunked host-merge path instead
-    (core/pipeline device-table mode falls back automatically).
+    Capacity model: read_cap reads (each 20·W_slot B compacted keys+occ +
+    12·M B minimizer rows); HG002-scale runs exceed HBM and use the chunked
+    host-merge path instead (core/pipeline device-table mode falls back
+    automatically).
     """
 
     def __init__(self, k: int, M: int, read_cap: int, node_cap: int,
-                 minab: int, pass_cap: int | None = None):
+                 minab: int, pass_cap: int | None = None,
+                 w_slot: int | None = None):
         import jax
         import jax.numpy as jnp
 
         self.k = k
         self.M = M
-        self.W = M - k + 1
+        self.W = M - k + 1          # original windows/read (occ coordinates)
+        self.W_slot = w_slot if w_slot is not None else self.W
         self.read_cap = read_cap
-        self.window_cap = read_cap * self.W
+        self.window_cap = read_cap * self.W_slot
         self.node_cap = node_cap
         self.pass_cap = min(node_cap, pass_cap or (1 << 22))
         self.minab = minab
-        self.offset = 0          # rows filled
         self._jax = jax
         # sentinel-filled keys: untouched tail rows drop out in finalize
         self.buffers = (
             jnp.full((self.window_cap, 2), ~jnp.uint64(0), dtype=jnp.uint64),
+            jnp.full((self.window_cap,), 0xFFFFFFFF, dtype=jnp.uint32),
             jnp.zeros((read_cap, M), dtype=jnp.uint64),
             jnp.zeros((read_cap, M), dtype=jnp.int32),
         )
-        self._append = jax.jit(self._append_impl, donate_argnums=(0,))
         self._finalize = jax.jit(functools.partial(
             _finalize_compact, k=k, M=M, minab=minab, node_cap=node_cap,
             pass_cap=self.pass_cap,
@@ -375,23 +445,6 @@ class DeviceNodeCounter:
             _gather_window_meta, k=k, M=M))
         self._refill = jax.jit(
             lambda b: jnp.full_like(b, ~jnp.uint64(0)), donate_argnums=(0,))
-
-    @staticmethod
-    def _append_impl(buffers, out, row0):
-        import jax
-        import jax.numpy as jnp
-
-        b_keys, b_mh, b_mp = buffers
-        row0 = jnp.asarray(row0).astype(jnp.int32)
-        BW2 = out["keys"].shape[0] * out["keys"].shape[1]
-        W = out["keys"].shape[1]
-        b_keys = jax.lax.dynamic_update_slice(
-            b_keys, out["keys"].reshape(BW2, 2), (row0 * W, jnp.int32(0)))
-        b_mh = jax.lax.dynamic_update_slice(b_mh, out["mh"],
-                                            (row0, jnp.int32(0)))
-        b_mp = jax.lax.dynamic_update_slice(b_mp, out["mp"],
-                                            (row0, jnp.int32(0)))
-        return (b_keys, b_mh, b_mp)
 
     def grow(self, min_read_cap: int):
         """Double the read capacity (at least to min_read_cap), copying the
@@ -408,33 +461,28 @@ class DeviceNodeCounter:
 
         @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
         def widen(buffers, new_cap):
-            b_keys, b_mh, b_mp = buffers
-            nk = jnp.full((new_cap * self.W, 2), ~jnp.uint64(0),
+            b_keys, b_occ, b_mh, b_mp = buffers
+            nk = jnp.full((new_cap * self.W_slot, 2), ~jnp.uint64(0),
                           dtype=jnp.uint64)
             nk = jax.lax.dynamic_update_slice(nk, b_keys, (0, 0))
+            no = jnp.full((new_cap * self.W_slot,), 0xFFFFFFFF,
+                          dtype=jnp.uint32)
+            no = jax.lax.dynamic_update_slice(no, b_occ, (0,))
             nh = jnp.zeros((new_cap, self.M), dtype=jnp.uint64)
             nh = jax.lax.dynamic_update_slice(nh, b_mh, (0, 0))
             np_ = jnp.zeros((new_cap, self.M), dtype=jnp.int32)
             np_ = jax.lax.dynamic_update_slice(np_, b_mp, (0, 0))
-            return (nk, nh, np_)
+            return (nk, no, nh, np_)
 
         self.buffers = widen(self.buffers, new_cap)
         self.read_cap = new_cap
-        self.window_cap = new_cap * self.W
+        self.window_cap = new_cap * self.W_slot
         self._finalize = self._jax.jit(functools.partial(
             _finalize_compact, k=self.k, M=self.M, minab=self.minab,
             node_cap=self.node_cap, pass_cap=self.pass_cap,
         ))
-
-    def add(self, out: dict, read_base: int | None = None):
-        """Append one count-mode extraction output (keys/mh/mp device arrays)."""
-        B = out["mh"].shape[0]
-        row0 = self.offset if read_base is None else read_base
-        if row0 + B > self.read_cap:
-            raise RuntimeError(
-                f"read capacity {self.read_cap} exceeded at row {row0}")
-        self.buffers = self._append(self.buffers, out, row0)
-        self.offset = row0 + B
+        self._finalize_chunk = self._jax.jit(functools.partial(
+            _finalize_chunk, node_cap=self.window_cap))
 
     def finalize(self, lazy: bool = False):
         """Run the device reduction; fetch only the passing-node prefix.
@@ -490,7 +538,7 @@ class DeviceNodeCounter:
         """Reduce the CURRENT chunk only: unique keys with per-chunk counts
         and first/second occurrence ids, in first-occurrence order.  Fetches
         the n_unique prefix (power-of-2 slice shapes)."""
-        out = self._finalize_chunk(self.buffers[0])
+        out = self._finalize_chunk(self.buffers[0], self.buffers[1])
         n_unique, overflow = (int(x) for x in np.asarray(out["stats2"]))
         if overflow > 0:
             raise RuntimeError("chunk unique keys exceeded window capacity")
@@ -518,13 +566,12 @@ class DeviceNodeCounter:
             cap2 <<= 1
         padded = np.zeros(cap2, dtype=np.uint32)
         padded[:n] = occs
-        vec, meta = self._gather(self.buffers[1], self.buffers[2],
+        vec, meta = self._gather(self.buffers[2], self.buffers[3],
                                  jnp.asarray(padded))
         return np.asarray(vec)[:n], np.asarray(meta)[:n]
 
     def reset_chunk(self):
-        """Sentinel-refill the key buffer for the next chunk (stale mh/mp
+        """Sentinel-refill the key buffer for the next chunk (stale occ/mh/mp
         rows are unreachable: gathers only follow valid keys)."""
-        b_keys, b_mh, b_mp = self.buffers
-        self.buffers = (self._refill(b_keys), b_mh, b_mp)
-        self.offset = 0
+        b_keys, b_occ, b_mh, b_mp = self.buffers
+        self.buffers = (self._refill(b_keys), b_occ, b_mh, b_mp)

@@ -128,3 +128,51 @@ def test_finalize_adaptive_node_cap():
     assert np.array_equal(small["count"], big["count"])
     tiny_pass, _ = run(1 << 14, pass_cap=8)  # pass_cap-only overflow
     assert np.array_equal(tiny_pass["key_lo"], big["key_lo"])
+
+
+def test_batch_slot_compaction_matches_padded():
+    """w_slot < W (batch-slot window compaction) produces identical finalize
+    results to the full padded layout, and undersized slots are flagged."""
+    from rust_mdbg_tpu.ops.sort_count import window_slot_capacity
+
+    rng = np.random.default_rng(11)
+    B, L = 8, 2048
+    n_batches = 2
+    p = Params(k=5, l=8, density=0.02, min_kmer_abundance=2,
+               engine="device", batch_reads=B)
+    n_reads = B * n_batches
+    codes = rng.integers(0, 4, (n_reads, L)).astype(np.uint8)
+    codes[n_reads // 2 :] = codes[: n_reads - n_reads // 2]
+    lengths = np.full((n_reads,), L, dtype=np.int32)
+    dev = DeviceExtractor(p)
+    M = dev.capacity(L)
+    W = M - p.k + 1
+
+    def run(w_slot):
+        counter = DeviceNodeCounter(k=p.k, M=M, read_cap=n_reads,
+                                    node_cap=1 << 14, minab=2, w_slot=w_slot)
+        construct = make_fused_construct(p, B, L, M, n_batches, w_slot=w_slot)
+        bufs, n_win, n_over = construct(codes, lengths, counter.buffers)
+        counter.buffers = bufs
+        return counter, int(np.asarray(n_win)), int(np.asarray(n_over))
+
+    w_slot = window_slot_capacity(p, B, L, M)
+    assert w_slot < W
+    full_c, full_win, full_over = run(None)
+    slot_c, slot_win, slot_over = run(w_slot)
+    assert full_over == 0 and slot_over == 0
+    assert full_win == slot_win > 0
+    full = full_c.finalize()
+    slot = slot_c.finalize()
+    for name in ("key_lo", "key_hi", "count", "vec", "meta"):
+        assert np.array_equal(full[name], slot[name]), name
+
+    # chunk-mode reduction agrees too (occ coordinates identical)
+    fch = full_c.finalize_chunk()
+    sch = slot_c.finalize_chunk()
+    for name in ("key_lo", "key_hi", "count", "occ1", "occ2"):
+        assert np.array_equal(fch[name], sch[name]), name
+
+    # a slot too small for the windows of one batch is counted as overflow
+    _, _, n_over = run(8)
+    assert n_over > 0
