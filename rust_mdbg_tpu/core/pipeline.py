@@ -29,12 +29,14 @@ from .graph import build_gfa
 from .nodetable import NodeTable
 
 
-def _pick_engine(params: Params):
+def _pick_engine(params: Params, minimizer_to_int=None, uhs_filter=None,
+                 lcp_filter=None):
     if params.engine in ("device", "pallas", "auto"):
         try:
             from ..ops.extract import make_device_extractor
 
-            return make_device_extractor(params)
+            return make_device_extractor(params, minimizer_to_int,
+                                         uhs_filter, lcp_filter)
         except Exception:
             if params.engine != "auto":
                 raise
@@ -99,7 +101,8 @@ def assemble(reads_path: str, params: Params, prefix: str,
         keep_all=params.reference,
     )
 
-    device_extract = _pick_engine(params)
+    device_extract = _pick_engine(params, minimizer_to_int,
+                                  uhs_filter, lcp_filter)
 
     write_seqs_first_pass = not params.error_correct
     seq_writer = None

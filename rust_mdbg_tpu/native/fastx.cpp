@@ -43,6 +43,7 @@ struct Fx {
     int fd = -1;
     const uint8_t* map = nullptr;    // plain: whole file
     size_t map_size = 0;
+    size_t dropped = 0;              // consumed mmap prefix already discarded
     gzFile gz = nullptr;             // .gz: streamed window
     std::vector<uint8_t> win;        // gz window storage
     size_t win_len = 0;              // valid bytes in win
@@ -98,6 +99,23 @@ inline bool at_eof(Fx* f) {
     return f->pos >= len && (f->gz == nullptr || f->gz_eof);
 }
 
+// Discard resident pages of the consumed mmap prefix so a multi-GB input
+// never counts against the process RSS (the reference streams with buffered
+// reads and stays <=10 GB at 114 Gbp input; an mmap'd parse would otherwise
+// retain every touched page).  Keeps a 64 MB guard behind the cursor and
+// drops in 256 MB strides.
+inline void drop_consumed(Fx* f) {
+    if (!f->map) return;
+    const size_t keep = 64ull << 20, step = 256ull << 20;
+    if (f->pos < f->dropped + step + keep) return;
+    size_t end = (f->pos - keep) & ~((size_t)4095);
+    if (end > f->dropped) {
+        madvise((void*)(f->map + f->dropped), end - f->dropped,
+                MADV_DONTNEED);
+        f->dropped = end;
+    }
+}
+
 // memchr '\n' from p; returns len (one past data end) if absent.
 inline size_t find_nl(const uint8_t* w, size_t len, size_t p) {
     const void* q = memchr(w + p, '\n', len - p);
@@ -150,6 +168,7 @@ int64_t fx_next(void* h, int64_t max_reads, int64_t max_len,
     Fx* f = (Fx*)h;
     f->segs.clear();
     f->recs.clear();
+    drop_consumed(f);
     *status = 0;
     int64_t raw_used = 0, ids_used = 0;
     ids_off[0] = 0;

@@ -26,14 +26,26 @@ import numpy as np
 from ..utils.seq import BASE_CODE
 
 
-def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
+def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
                     use_pallas=False, compact_output=False,
-                    count_output=False, syncmer=None):
+                    count_output=False, syncmer=None, lmer=False,
+                    filter_mode=None):
     import jax.numpy as jnp
 
     from .hpc import hpc_jax, _scatter2d
     from .kminmer import canonicalize_jax, fingerprint128_jax
     from .nthash import nthash_windows_jax
+
+    # optional scheme tables (traced args; see make_device_extractor):
+    #   lmer:        (sorted packed-lmer keys u64 [T], remap values u64 [T])
+    #   filter_mode: (preload u64 [P] sorted, seen u64 [S] sorted MAX-padded,
+    #                 seen_n i32) — UHS/LCP check_and_add state
+    ti = 0
+    if lmer:
+        lmer_keys, lmer_vals = tables[ti], tables[ti + 1]
+        ti += 2
+    if filter_mode is not None:
+        f_preload, f_seen = tables[ti], tables[ti + 1]
 
     B, L = codes.shape
     idx = jnp.arange(L, dtype=jnp.int32)
@@ -44,6 +56,10 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
         hpc_len = lengths
     else:
         hpc_codes, pos_map, hpc_len = hpc_jax(codes, lengths)
+    if filter_mode is not None:
+        # reference quirk (read.rs:119-120,151-152): UHS/LCP extraction pushes
+        # the HPC-space index as the position, not the raw-position map
+        pos_map = jnp.broadcast_to(idx[None, :], (B, L)).astype(jnp.int32)
 
     # hash + select
     import jax
@@ -63,6 +79,25 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
         canon = jnp.minimum(fh, rh)
         valid = idx[None, :] + l <= hpc_len[:, None]
         sel = (canon <= jnp.uint64(hash_bound)) & valid
+
+    fstate_out = None
+    if lmer:
+        # robust-minimizer remap (read.rs:200-204 / extract_density_np):
+        # l-mer must be a key of minimizer_to_int; hash becomes its value.
+        # Lookup key = base-8 packed FORWARD l-mer (codes 0..5 kept distinct,
+        # so N/other l-mers can never match a table of ACGT keys) against a
+        # sorted device table — one searchsorted + gather per position.
+        pk = _packed_lmers(hpc_codes, l)
+        q = pk.reshape(-1)
+        tix = jnp.clip(jnp.searchsorted(lmer_keys, q), 0,
+                       lmer_keys.shape[0] - 1)
+        found = (lmer_keys[tix] == q).reshape(B, L)
+        sel = sel & found
+        canon = jnp.where(found, lmer_vals[tix].reshape(B, L), canon)
+    if filter_mode is not None:
+        sel, fstate_out = _stream_filter(
+            canon, sel, hpc_codes, f_preload, f_seen,
+            l=l, skip_n=(filter_mode == "lcp"))
 
     # compact selected minimizers to [B, M] with a TWO-LEVEL sort: per-512
     # chunk sorts (bitonic cost grows ~log^2 width: 45 passes at 512 vs 120
@@ -125,8 +160,11 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
         # per-read valid-window count (windows are a prefix): feeds the
         # batch-slot compaction in ops/sort_count.make_fused_construct
         nw = jnp.where(n_min > k, n_min - k + 1, 0).astype(jnp.int32)
-        return dict(keys=keys, mh=minim_hash, mp=minim_pos, nw=nw,
-                    overflow=overflow)
+        out = dict(keys=keys, mh=minim_hash, mp=minim_pos, nw=nw,
+                   overflow=overflow)
+        if fstate_out is not None:
+            out["fstate"] = fstate_out
+        return out
 
     # k-min-mer windows [B, W, k]
     W = M - k + 1
@@ -146,13 +184,16 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
     fp = fingerprint128_jax(canon_vecs)
 
     if not compact_output:
-        return dict(
+        out = dict(
             key_lo=fp[..., 0], key_hi=fp[..., 1], vecs=canon_vecs,
             reversed_=reversed_, shift0=shift0, shift1=shift1, seqlen=seqlen,
             start=start, end=end, valid_w=valid_w,
             minim_hash=minim_hash, minim_pos=minim_pos, n_min=n_min,
             overflow=overflow,
         )
+        if fstate_out is not None:
+            out["fstate"] = fstate_out
+        return out
 
     # Compact path: minimize device->host bytes (the axon tunnel runs at tens
     # of MB/s, so the fetch — not compute — bounds single-chip throughput).
@@ -174,11 +215,108 @@ def _device_extract(codes, lengths, *, l, k, hash_bound, M, already_hpc,
         ],
         axis=-1,
     )
-    return dict(
+    out = dict(
         keys=fp, meta=meta, vecs=canon_vecs,
         minim_hash=minim_hash, minim_pos=minim_pos, n_min=n_min,
         overflow=overflow,
     )
+    if fstate_out is not None:
+        out["fstate"] = fstate_out
+    return out
+
+
+def _packed_lmers(hpc_codes, l: int):
+    """Base-8 packed forward l-mer starting at each position: [B, L] u64.
+
+    3 bits/base keeps codes 0..5 (A C G T N other) distinct, so packing is a
+    bijection on l-mers for l <= 21; positions within l-1 of the row end pack
+    trailing padding codes but are masked invalid by the caller's selection.
+    """
+    import jax.numpy as jnp
+
+    # clamp 5 ('other') to 4 ('N'): the host lookup key is decode_bases(),
+    # whose CODE_BASE table renders both as 'N'
+    c64 = jnp.minimum(hpc_codes.astype(jnp.uint64), jnp.uint64(4))
+    pk = jnp.zeros_like(c64)
+    for j in range(l):
+        plane = c64[:, j:] if j else c64
+        if j:
+            plane = jnp.pad(plane, ((0, 0), (0, j)), constant_values=4)
+        pk = pk | (plane << jnp.uint64(3 * (l - 1 - j)))
+    return pk
+
+
+def _stream_filter(canon, sel, hpc_codes, preload, seen, *,
+                   l: int, skip_n: bool):
+    """UHS/LCP check_and_add selection (read.rs:125-156 / 93-124) as a
+    data-parallel pass over one batch.
+
+    The host semantics (models/schemes.CheckAndAddFilter, exact-set mode):
+    a density-selected candidate is KEPT iff its canonical hash is already in
+    the filter set — preloaded (UHS file hashes; LCP preloads strings which
+    can never equal an int hash, so its effective preload is empty) OR
+    inserted by an earlier candidate anywhere in the stream.  Every candidate
+    inserts its hash.  Batch-parallel equivalent:
+
+      keep = member(preload) | member(seen) | duplicate-of-earlier-in-batch
+
+    where "earlier" is stream order (row-major position), computed with one
+    stable sort by (hash, stream index); the batch's first-occurrence
+    non-member hashes are merged into `seen` (sorted, MAX-padded).  Exact —
+    no ordering ambiguity, because batches arrive in read order.
+
+    Returns (sel', (new_seen, new_seen_n, state_overflow)).  On overflow the
+    caller must retry the SAME batch with a larger `seen` (the returned state
+    is truncated and must not be committed).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, L = canon.shape
+    if skip_n:
+        # extract_lcp skips minimizers whose l-mer contains a non-ACGT code
+        # (read.rs:115: contains('N'))
+        isn = (hpc_codes >= 4).astype(jnp.int32)
+        ncum = jnp.cumsum(isn, axis=1)
+        win = ncum[:, l - 1:] - jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), ncum[:, : L - l]], axis=1)
+        has_n = jnp.concatenate(
+            [win > 0, jnp.ones((B, l - 1), bool)], axis=1)
+        sel = sel & ~has_n
+
+    NL = B * L
+    maxu = ~jnp.uint64(0)
+    hf = canon.reshape(NL)
+    cand = sel.reshape(NL)
+
+    def member(table, q):
+        ix = jnp.clip(jnp.searchsorted(table, q), 0, table.shape[0] - 1)
+        return table[ix] == q
+
+    # duplicate-of-earlier: stable sort by hash (candidates only; others get
+    # the MAX sentinel, which no candidate can equal — hashes are <= the
+    # density bound), stream order preserved within equal hashes
+    sidx = jnp.arange(NL, dtype=jnp.int32)
+    skey = jnp.where(cand, hf, maxu)
+    sk, si = jax.lax.sort((skey, sidx), num_keys=1, is_stable=True)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    scand = sk != maxu
+    dup_sorted = scand & ~first
+    dup = jnp.zeros((NL,), bool).at[si].set(dup_sorted)
+
+    mem = member(preload, hf) | member(seen, hf)
+    keep = cand & (mem | dup)
+
+    # inserts: first in-batch occurrence of each candidate hash not already
+    # in the set; merge into the sorted MAX-padded seen buffer
+    ins_sorted = scand & first & ~(member(preload, sk) | member(seen, sk))
+    ins_keys = jnp.where(ins_sorted, sk, maxu)
+    merged = jnp.sort(jnp.concatenate([seen, ins_keys]))
+    new_n = (merged != maxu).sum().astype(jnp.int32)
+    S = seen.shape[0]
+    overflow = new_n > S
+    return keep.reshape(B, L), (merged[:S], new_n, overflow)
 
 
 def _chunk_slot_capacity(hash_bound: int, chunk: int = 512) -> int:
@@ -286,8 +424,11 @@ class DeviceExtractor:
     exactness.
     """
 
-    def __init__(self, params, use_pallas: bool | None = None):
+    def __init__(self, params, use_pallas: bool | None = None,
+                 lmer_table=None, filter_mode: str | None = None,
+                 filter_preload=None, m2i: dict | None = None):
         import jax
+        import jax.numpy as jnp
 
         self.params = params
         if use_pallas is None:
@@ -298,6 +439,26 @@ class DeviceExtractor:
         self._gather = jax.jit(
             lambda vecs, idx: vecs.reshape(-1, vecs.shape[-1])[idx]
         )
+        # scheme tables (see make_device_extractor)
+        self._m2i = m2i
+        self._lmer = None
+        if lmer_table is not None:
+            keys, vals = lmer_table
+            self._lmer = (jnp.asarray(keys), jnp.asarray(vals))
+        self.filter_mode = filter_mode
+        if filter_mode is not None:
+            pre = (np.zeros(0, dtype=np.uint64) if filter_preload is None
+                   else np.asarray(filter_preload, dtype=np.uint64))
+            if pre.size == 0:
+                # MAX sentinel keeps membership lookups index-safe (no query
+                # hash can equal it: candidates are <= the density bound)
+                pre = np.array([~np.uint64(0)], dtype=np.uint64)
+            self._preload = jnp.asarray(np.sort(pre))
+            self._seen_cap = 1 << 16
+            self._seen = jnp.full((self._seen_cap,), ~np.uint64(0),
+                                  dtype=jnp.uint64)
+            self.seen_n = 0
+            self._m_mult = 1  # M growth factor (filter mode re-runs batches)
 
     def _fn(self, B, L, M, compact=False):
         key = (B, L, M, compact)
@@ -310,26 +471,54 @@ class DeviceExtractor:
                     M=M, already_hpc=p.reads_already_hpc,
                     use_pallas=self.use_pallas and syncmer is None,
                     compact_output=compact, syncmer=syncmer,
+                    lmer=self._lmer is not None,
+                    filter_mode=self.filter_mode,
                 )
             )
         return self._fns[key]
+
+    def _extra_args(self) -> tuple:
+        extra = ()
+        if self._lmer is not None:
+            extra += self._lmer
+        if self.filter_mode is not None:
+            extra += (self._preload, self._seen)
+        return extra
+
+    def _grow_seen(self):
+        import jax.numpy as jnp
+
+        self._seen_cap *= 2
+        pad = jnp.full((self._seen_cap - self._seen.shape[0],),
+                       ~np.uint64(0), dtype=jnp.uint64)
+        self._seen = jnp.concatenate([self._seen, pad])
 
     def extract_device(self, codes, lengths):
         """Raw device-side compact extraction: returns the device dict
         (keys/meta/vecs/overflow) WITHOUT any host transfer.  Used by the
         device-resident counter (ops/sort_count.py)."""
+        if self.filter_mode is not None:
+            raise RuntimeError(
+                "extract_device cannot thread UHS/LCP filter state; "
+                "use __call__ / extract_compact")
         B, L = codes.shape
         M = self.capacity(L)
-        return self._fn(B, L, M, compact=True)(codes, lengths)
+        return self._fn(B, L, M, compact=True)(codes, lengths,
+                                               *self._extra_args())
 
     def extract_compact(self, batch) -> CompactWindows:
         """Low-traffic path for the non-EC pipeline (keys+meta only; vectors
         gathered on demand).  Falls back to the host engine for overflow rows
         via the full path."""
         p = self.params
+        if self.filter_mode is not None:
+            # stateful UHS/LCP runs through the full path (which commits the
+            # filter state exactly once per batch)
+            return _compact_from_windowbatch(self(batch))
         B, L = batch.codes.shape
         M = self.capacity(L)
-        out = self._fn(B, L, M, compact=True)(batch.codes, batch.lengths)
+        out = self._fn(B, L, M, compact=True)(batch.codes, batch.lengths,
+                                              *self._extra_args())
         overflow = np.asarray(out["overflow"])
         if overflow.any():
             # rare: take the exact full path for the whole batch
@@ -382,9 +571,13 @@ class DeviceExtractor:
 
         p = self.params
         B, L = batch.codes.shape
-        M = self.capacity(L)
-        out = self._fn(B, L, M)(batch.codes, batch.lengths)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        if self.filter_mode is not None:
+            out = self._call_filtered(batch)
+        else:
+            M = self.capacity(L)
+            out = self._fn(B, L, M)(batch.codes, batch.lengths,
+                                    *self._extra_args())
+        out = {k: np.asarray(v) for k, v in out.items() if k != "fstate"}
 
         valid = out["valid_w"]
         # host fallback rows: capacity overflow
@@ -416,8 +609,34 @@ class DeviceExtractor:
             ],
         )
         if overflow_rows.size:
-            wb = _merge_host_rows(wb, batch, overflow_rows, p)
+            wb = _merge_host_rows(wb, batch, overflow_rows, p, self._m2i)
         return wb
+
+    def _call_filtered(self, batch):
+        """Full-path extraction under UHS/LCP: re-runs the batch with doubled
+        minimizer capacity on overflow (a host fallback cannot replicate the
+        device-resident filter state), grows the seen-set on state overflow,
+        and commits the new state exactly once."""
+        B, L = batch.codes.shape
+        while True:
+            M = min(L, self.capacity(L) * self._m_mult)
+            out = self._fn(B, L, M)(batch.codes, batch.lengths,
+                                    *self._extra_args())
+            new_seen, new_n, state_over = out["fstate"]
+            if bool(np.asarray(state_over)):
+                self._grow_seen()
+                continue
+            if np.asarray(out["overflow"]).any():
+                if M < L:
+                    self._m_mult *= 2
+                    continue
+                raise RuntimeError(
+                    "UHS/LCP device extraction overflowed per-512-window "
+                    "compaction slots even at full capacity; rerun with "
+                    "--engine host")
+            self._seen = new_seen
+            self.seen_n = int(np.asarray(new_n))
+            return out
 
 
 class _HostCompact(CompactWindows):
@@ -446,7 +665,7 @@ def _compact_from_windowbatch(wb) -> CompactWindows:
     return cw
 
 
-def _merge_host_rows(wb, batch, rows, params):
+def _merge_host_rows(wb, batch, rows, params, m2i=None):
     """Re-extract overflow rows on host and splice them in, preserving the
     deterministic (read_row, window) order.
 
@@ -462,7 +681,7 @@ def _merge_host_rows(wb, batch, rows, params):
         raw = [batch.raw[r] for r in rows] if batch.raw else []
         start_index = batch.start_index
 
-    hb = extract_windows_host(_View, params)
+    hb = extract_windows_host(_View, params, m2i)
     hb_rows = rows[hb.read_row].astype(np.int32)
     order = np.argsort(np.concatenate([wb.read_row, hb_rows]), kind="stable")
 
@@ -484,10 +703,67 @@ def _merge_host_rows(wb, batch, rows, params):
     )
 
 
-def make_device_extractor(params):
-    if params.uhs or params.lcp or params.has_lmer_counts \
-            or params.error_correct:
-        # schemes with host-side tables/filters run on the host engine for now
+def _build_lmer_table(m2i: dict, l: int):
+    """Sorted (packed-lmer keys, values) arrays for the device remap lookup.
+
+    Keys not in decoded-normal form (uppercase ACGT/N — the only strings
+    decode_bases can produce) are unreachable by the host lookup and are
+    skipped; the remaining keys pack injectively (base-8 over codes 0..4)."""
+    from ..utils.seq import BASE_CODE, CODE_BASE
+
+    keys, vals = [], []
+    for s, v in m2i.items():
+        if len(s) != l:
+            continue
+        codes = np.minimum(BASE_CODE[np.frombuffer(s.encode(), np.uint8)], 4)
+        if CODE_BASE[codes].tobytes().decode() != s:
+            continue  # host decode_bases can never produce this string
+        pk = np.uint64(0)
+        for j in range(l):
+            pk |= np.uint64(codes[j]) << np.uint64(3 * (l - 1 - j))
+        keys.append(pk)
+        vals.append(np.uint64(v))
+    if not keys:
+        # MAX sentinel: no packed l-mer (< 2^63 at l <= 21) can equal it, so
+        # lookups on a degenerate table never match (and never index empty)
+        return (np.array([~np.uint64(0)], dtype=np.uint64),
+                np.zeros(1, dtype=np.uint64))
+    k = np.asarray(keys, dtype=np.uint64)
+    v = np.asarray(vals, dtype=np.uint64)
+    order = np.argsort(k)
+    return k[order], v[order]
+
+
+def make_device_extractor(params, minimizer_to_int=None, uhs_filter=None,
+                          lcp_filter=None):
+    if params.error_correct:
+        # EC needs int_to_minimizer round-trips + per-read host records
         raise NotImplementedError(
-            "device engine supports the density and syncmer schemes")
-    return DeviceExtractor(params, use_pallas=(params.engine == "pallas"))
+            "device engine does not run the error-correction extraction")
+    lmer_table = m2i = None
+    if params.has_lmer_counts:
+        if minimizer_to_int is None or params.l > 21:
+            raise NotImplementedError(
+                "device lmer-counts remap needs the prepared table and "
+                "l <= 21")
+        lmer_table = _build_lmer_table(minimizer_to_int, params.l)
+        m2i = minimizer_to_int
+    filter_mode = preload = None
+    if params.uhs or params.lcp:
+        if params.use_bf or params.has_lmer_counts:
+            # Bloom false-positive semantics / combined remap+filter stay on
+            # the host engine
+            raise NotImplementedError(
+                "device UHS/LCP runs the exact-set filter only")
+        f = uhs_filter if params.uhs else lcp_filter
+        if f is None or not hasattr(f, "_set"):
+            raise NotImplementedError("UHS/LCP filter not prepared")
+        filter_mode = "uhs" if params.uhs else "lcp"
+        # int entries only: LCP preloads STRINGS, which an int-hash query can
+        # never equal (models/schemes.py module docstring)
+        preload = np.fromiter(
+            (x for x in f._set if isinstance(x, (int, np.integer))),
+            dtype=np.uint64)
+    return DeviceExtractor(params, use_pallas=(params.engine == "pallas"),
+                           lmer_table=lmer_table, filter_mode=filter_mode,
+                           filter_preload=preload, m2i=m2i)
