@@ -61,7 +61,9 @@ def main():
     # skiphpc: the reference's headline HG002 runs were fed pre-HPC'd reads
     # (README.md:133-135), so the benchmark protocol matches
     p = Params(k=21, l=14, density=0.003, min_kmer_abundance=2,
-               engine="pallas", batch_reads=128, reads_already_hpc=True)
+               engine="pallas",
+               batch_reads=int(os.environ.get("MDBG_BENCH_B", "128")),
+               reads_already_hpc=True)
     genome, starts, L = synth_reads()
     B = p.batch_reads
     n_reads = len(starts) - (len(starts) % B)

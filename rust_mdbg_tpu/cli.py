@@ -192,6 +192,8 @@ def main(argv=None):
 
     if stats.get("phases"):
         print(f"PHASES {stats['phases']}")
+    if stats.get("h2d_bytes"):
+        print(f"H2D bytes: {stats['h2d_bytes']}")
     print(f"Total execution time: {time.time() - t0:.2f}s")
     print(f"Maximum RSS: {max_rss_bytes() / 1024**3:.3f}GB")
     return 0

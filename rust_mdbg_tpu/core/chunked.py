@@ -72,12 +72,13 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     from ..ops.sort_count import window_slot_capacity
 
     if chunk_reads <= 0:
-        # target ~0.25 GB of HBM window/minimizer buffers per chunk; host
+        # target ~0.15 GB of HBM window/minimizer buffers per chunk; host
         # staging RSS scales with chunk size (parsed codes + raw blob + the
-        # prefetched next chunk), so smaller chunks keep the whole run's
-        # peak near the reference's <=10 GB bar
+        # in-flight prefetch chunk), so smaller chunks keep the whole run's
+        # peak under the reference's <=10 GB bar (measured 8-9 GB at
+        # 10.4 Gbp; SCALE_DEMO.json)
         per_read = 20 * window_slot_capacity(params, B, L, M) + 12 * M
-        chunk_reads = max(B, int(2.5e8 / per_read) // B * B)
+        chunk_reads = max(B, int(1.5e8 / per_read) // B * B)
     else:
         # small forced chunks (tests): shrink the batch to fit the chunk
         B = min(B, chunk_reads)
@@ -104,6 +105,7 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     W = M - params.k + 1
     nb_reads = 0
     nb_windows = 0
+    h2d_bytes = 0   # fed over the host->device link (relay-leak accounting)
     chunk_i = 0
     vec_ids: list[np.ndarray] = []
     vec_arrs: list[np.ndarray] = []
@@ -184,12 +186,16 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                 continue
             if codes.shape[1] != L:
                 raise RuntimeError("read longer than staging width")
+            nonlocal h2d_bytes
             if packed:
                 from ..ops.pack import pack_codes_np
 
                 pk_h, mk_h = pack_codes_np(codes)
+                del codes, tup  # drop the 1 B/base plane before the H2D
+                h2d_bytes += pk_h.nbytes + mk_h.nbytes + lens.nbytes
                 staged = (jax.device_put(pk_h), jax.device_put(mk_h))
             else:
+                h2d_bytes += codes.nbytes + lens.nbytes
                 staged = jax.device_put(codes)
             lens_d = jax.device_put(lens)
             return staged, lens_d, blob, blob_off, fill
@@ -207,6 +213,7 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     stats["nb_windows"] = nb_windows
     stats["nb_nodes_prefilter"] = len(table)
     stats["nb_chunks"] = chunk_i
+    stats["h2d_bytes"] = h2d_bytes
 
     with timer.phase("gfa"):
         if params.min_kmer_abundance > 1:
@@ -223,4 +230,6 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
         g = build_gfa(f"{prefix}.gfa", nodes, varr, presimp=params.presimp)
     stats.update(g)
     stats["phases"] = timer.report()
+    # per-chunk distribution (mean/max) — stragglers matter at 30+ chunks
+    stats["phase_stats"] = timer.report_stats()
     return stats

@@ -57,6 +57,8 @@ def main() -> None:
                     help="keep the FASTA + outputs afterwards")
     ap.add_argument("--chunk-reads", type=int, default=0,
                     help="force a chunk size (0 = pipeline auto-detect)")
+    ap.add_argument("--out", default="SCALE_DEMO.json",
+                    help="record filename (repo-relative)")
     args = ap.parse_args()
 
     os.makedirs(args.dir, exist_ok=True)
@@ -93,27 +95,37 @@ def main() -> None:
     child_rss_gb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1e6
 
     n_nodes = n_edges = -1
+    h2d_bytes = 0
     for line in proc.stdout.splitlines():
         if "mdBG nodes" in line:
             n_nodes = int(line.split()[-1])
         if "mdBG edges" in line:
             n_edges = int(line.split()[-1])
+        if line.startswith("H2D bytes:"):
+            h2d_bytes = int(line.split()[-1])
     phases = None
     for line in proc.stdout.splitlines():
         if line.startswith("PHASES "):
             phases = line[7:]
     rec = {
-        "demo": "chunked_10gbp",
+        "demo": f"chunked_{args.gbp:g}gbp",
         "total_gbp": round(total / 1e9, 2),
         "wall_s": round(wall, 1),
         "gbp_per_s": round(total / 1e9 / wall, 4),
         "max_rss_gb": round(child_rss_gb, 2),
+        # this dev environment's relay PJRT client retains every H2D
+        # transfer's staging bytes (demonstrated in isolation by
+        # experiments/relay_diag.py: +N MB RSS per N MB device_put, never
+        # freed, D2H unaffected); the pipeline's own footprint is RSS minus
+        # those retained wire bytes
+        "h2d_gb": round(h2d_bytes / 1e9, 2),
+        "rss_less_relay_gb": round(child_rss_gb - h2d_bytes / 1e9, 2),
         "nodes": n_nodes,
         "edges": n_edges,
         "phases": phases,
     }
     print(json.dumps(rec), flush=True)
-    out = os.path.join(repo, "SCALE_DEMO.json")
+    out = os.path.join(repo, args.out)
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     if not args.keep:

@@ -186,18 +186,30 @@ class NativeReader:
 
 def chunks_prefetched(path: str, chunk_reads: int, max_len: int,
                       mean_len_hint: int = 0, depth: int = 1):
-    """Iterate NativeChunks with a background parse thread (depth chunks
-    ahead), so file parsing overlaps device compute."""
+    """Iterate NativeChunks with a background parse thread so file parsing
+    overlaps device compute.
+
+    Chunk CONSTRUCTION is token-gated: the pump allocates chunk N+1 only
+    after the consumer has taken chunk N off the queue.  This bounds live
+    chunks to two (one being consumed, one being built) instead of
+    1 + depth + 1 — at HiFi scale each chunk is ~2 GB of codes+raw, so the
+    extra buffered chunk was pure RSS with no overlap benefit (the native
+    parse is faster than chunk consumption)."""
     rdr = NativeReader(path, chunk_reads, max_len,
                        mean_len_hint=mean_len_hint)
     q: queue.Queue = queue.Queue(maxsize=depth)
+    build_tokens = threading.Semaphore(depth)
     _SENTINEL = object()
 
     def pump():
         try:
-            for c in rdr:
+            while True:
+                build_tokens.acquire()
+                c = rdr.next_chunk()
+                if c is None:
+                    q.put(_SENTINEL)
+                    return
                 q.put(c)
-            q.put(_SENTINEL)
         except BaseException as e:  # surface parse errors on the consumer
             q.put(e)
 
@@ -206,6 +218,7 @@ def chunks_prefetched(path: str, chunk_reads: int, max_len: int,
     try:
         while True:
             item = q.get()
+            build_tokens.release()
             if item is _SENTINEL:
                 break
             if isinstance(item, BaseException):

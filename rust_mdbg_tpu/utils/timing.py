@@ -40,5 +40,17 @@ class PhaseTimer:
             out[name] = out.get(name, 0.0) + dt
         return {name: round(dt, 4) for name, dt in out.items()}
 
+    def report_stats(self) -> dict:
+        """Per-phase {n, total, mean, max} for repeated phases (chunk loops):
+        the max exposes stragglers that a sum hides."""
+        acc: dict[str, list[float]] = {}
+        for name, dt in self.phases:
+            acc.setdefault(name, []).append(dt)
+        return {
+            name: dict(n=len(v), total=round(sum(v), 4),
+                       mean=round(sum(v) / len(v), 4), max=round(max(v), 4))
+            for name, v in acc.items()
+        }
+
     def total(self) -> float:
         return sum(dt for _, dt in self.phases)
