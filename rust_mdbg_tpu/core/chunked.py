@@ -91,8 +91,17 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
         minab=params.min_kmer_abundance, w_slot=W_slot,
     )
     packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack); L is 512-aligned
-    construct = make_fused_construct(params, B, L, M, n_batches,
-                                     packed=packed, w_slot=W_slot)
+    # L carries 2x headroom over the sampled max read length (reads longer
+    # than the sample would otherwise be fatal), but chunks whose longest
+    # read fits L/2 feed at half width through a second compiled construct —
+    # on length-uniform HiFi data that halves the H2D wire bytes (the
+    # dominant cost through this environment's relay, and its RSS retention)
+    L_half = L // 2 if (L // 2) % 512 == 0 and L // 2 >= 1024 else 0
+    _constructs = {L: make_fused_construct(params, B, L, M, n_batches,
+                                           packed=packed, w_slot=W_slot)}
+    if L_half:
+        _constructs[L_half] = make_fused_construct(
+            params, B, L_half, M, n_batches, packed=packed, w_slot=W_slot)
     table = NodeTable(
         min_abundance=params.min_kmer_abundance,
         use_bf=params.use_bf,
@@ -110,14 +119,15 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     vec_ids: list[np.ndarray] = []
     vec_arrs: list[np.ndarray] = []
 
-    def flush_chunk(staged, lens_d, blob, blob_off, fill):
+    def flush_chunk(staged, lens_d, blob, blob_off, fill, Lc):
         """One chunk through: device reduce -> native merge -> crossing
         gather -> .sequences shard.  staged/lens_d are device arrays (the
         H2D transfer happened in the staging thread, overlapped with the
         previous chunk's device work)."""
         nonlocal chunk_i, nb_windows
         with timer.phase("construct"):
-            bufs, _n, n_over = construct(staged, lens_d, counter.buffers, 0)
+            bufs, _n, n_over = _constructs[Lc](staged, lens_d,
+                                               counter.buffers, 0)
             counter.buffers = bufs
             res = counter.finalize_chunk()
             n_over = int(np.asarray(n_over))
@@ -186,6 +196,13 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                 continue
             if codes.shape[1] != L:
                 raise RuntimeError("read longer than staging width")
+            Lc = L
+            if L_half and fill and int(lens[:fill].max()) <= L_half:
+                # half-width feed: copy the live column prefix (contiguous
+                # for the packer); the copy is host-memory-bandwidth cheap
+                # next to the relay bytes it saves
+                codes = np.ascontiguousarray(codes[:, :L_half])
+                Lc = L_half
             nonlocal h2d_bytes
             if packed:
                 from ..ops.pack import pack_codes_np
@@ -198,7 +215,7 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                 h2d_bytes += codes.nbytes + lens.nbytes
                 staged = jax.device_put(codes)
             lens_d = jax.device_put(lens)
-            return staged, lens_d, blob, blob_off, fill
+            return staged, lens_d, blob, blob_off, fill, Lc
 
     with timer.phase("stream"):
         while True:
@@ -207,7 +224,7 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
             if item is None:
                 break
             nb_reads += item[4]
-            flush_chunk(*item)
+            flush_chunk(*item)  # (staged, lens_d, blob, blob_off, fill, Lc)
 
     stats["nb_reads"] = nb_reads
     stats["nb_windows"] = nb_windows

@@ -109,6 +109,7 @@ def main() -> None:
             phases = line[7:]
     rec = {
         "demo": f"chunked_{args.gbp:g}gbp",
+        "platform": os.environ.get("JAX_PLATFORMS", "tpu(axon relay)"),
         "total_gbp": round(total / 1e9, 2),
         "wall_s": round(wall, 1),
         "gbp_per_s": round(total / 1e9 / wall, 4),
@@ -124,6 +125,16 @@ def main() -> None:
         "edges": n_edges,
         "phases": phases,
     }
+    if os.environ.get("JAX_PLATFORMS", "axon") not in ("cpu",):
+        rec["note"] = (
+            "rss_less_relay_gb = max_rss_gb - h2d_gb: the dev relay PJRT "
+            "client retains every H2D transfer's staging (shown in "
+            "isolation by experiments/relay_diag.py); real PCIe PJRT "
+            "hosts do not")
+    else:
+        rec.pop("rss_less_relay_gb", None)
+        rec["note"] = ("no relay: max_rss_gb includes the XLA-CPU 'device' "
+                       "buffers in-process")
     print(json.dumps(rec), flush=True)
     out = os.path.join(repo, args.out)
     with open(out, "w") as f:
