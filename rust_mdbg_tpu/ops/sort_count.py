@@ -361,16 +361,20 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
             row0 = read_base + i * B
 
             # batch-slot compaction: valid windows are a per-read prefix, so
-            # output position p maps to (row, w) via one searchsorted over
-            # the exclusive cumsum of per-read window counts
+            # output position p maps to (row, w) via rank-of-p in the
+            # exclusive cumsum of per-read window counts.  The rank is a
+            # dense [S, B] compare-reduce — ~20x faster than
+            # jnp.searchsorted here (XLA lowers the binary search to a
+            # sequential while-loop of gathers: ~1.45 ms/batch vs ~0.07)
             nw = out["nw"].astype(jnp.int32)                       # [B]
             offs = jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32), jnp.cumsum(nw)])      # [B+1]
             nv = offs[B]
             pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
-            row = jnp.clip(
-                jnp.searchsorted(offs, pos, side="right") - 1, 0, B - 1
-            ).astype(jnp.int32)
+            row = jnp.minimum(
+                jnp.sum((pos[:, None] >= offs[None, 1:]).astype(jnp.int32),
+                        axis=1),
+                B - 1)
             w = pos - offs[row]
             valid = pos < jnp.minimum(nv, S)
             src = jnp.clip(row * W + w, 0, B * W - 1)
