@@ -20,10 +20,10 @@ def main():
 
     p = Params(k=21, l=14, density=0.003, min_kmer_abundance=2,
                engine="pallas", batch_reads=128, reads_already_hpc=True)
-    genome, starts, L = synth_reads(genome_mbp=20, coverage=10)
+    genome, starts, L = synth_reads(genome_mbp=20, coverage=52)
     B = 128
     n_reads = len(starts) - (len(starts) % B)
-    n_batches = min(n_reads // B, 64)
+    n_batches = min(n_reads // B, 79)
     n_reads = n_batches * B
 
     genome_dev = jax.device_put(genome)
