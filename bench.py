@@ -84,9 +84,11 @@ def main():
     from rust_mdbg_tpu.ops.sort_count import window_slot_capacity
 
     W_slot = window_slot_capacity(p, B, L, M)
+    from rust_mdbg_tpu.core.device_out import minimizer_recompute_ok
+
     counter = DeviceNodeCounter(
         k=p.k, M=M, read_cap=n_reads, node_cap=1 << 18, minab=2,
-        w_slot=W_slot,
+        w_slot=W_slot, emit_overlap_keys=minimizer_recompute_ok(p),
     )
     construct = make_fused_construct(p, B, L, M, n_batches, w_slot=W_slot)
 

@@ -1,15 +1,24 @@
 """Pipelined host-side output emission for the device-table pipeline.
 
-The device->host link in this environment is a ~35 MB/s relay, so the naive
-sequence (fetch everything) -> (write .sequences) -> (build GFA) serializes
-~27 MB of transfer with ~1 s of host formatting.  Here the per-node vector
-array — the bulk of the transfer — is fetched in chunks, and each fetched
-chunk immediately feeds (a) a native .sequences shard writer (C++, releases
-the GIL) and (b) incremental GFA overlap-key computation, while the next
-chunk is in flight.  The GFA edge join + write runs once the last chunk
-lands.  Everything else (meta, counts) is fetched up front — it is small.
+The device->host link in this environment is a ~20-35 MB/s relay, so the
+per-node payload crossing it decides the output-phase wall time.  Two paths:
 
-.sequences shard files map 1:1 to fetch chunks (`prefix.<i>.sequences`),
+1. **Recompute path** (density scheme + reads already HPC'd): the finalize
+   kernel emits 128-bit (k-1)-overlap fingerprints ON DEVICE (sort_count
+   `emit_overlap_keys`), and the native .sequences writer re-derives each
+   node's minimizer values from the record's own sequence bytes with a
+   rolling ntHash (native/seqwriter.cpp) — the [n, k] u64 vector array never
+   crosses the link.  Per-node transfer: 20 B meta + 4 B count + 64 B
+   fingerprints + 1 B flags ~= 89 B, vs 8k+24 ~= 192 B with vectors.
+   The fingerprint fetch rides the relay while the writer threads (C++,
+   GIL-released) chew through the sequence formatting.
+
+2. **Vector path** (any other scheme/mode): the per-node vector array — the
+   bulk of the transfer — is fetched in chunks, and each fetched chunk
+   immediately feeds (a) a native .sequences shard writer and (b) incremental
+   GFA overlap-key computation, while the next chunk is in flight.
+
+.sequences shard files map 1:1 to writer threads (`prefix.<i>.sequences`),
 preserving the reference's multi-file glob contract (main.rs:616-630).
 """
 
@@ -20,33 +29,56 @@ import threading
 import numpy as np
 
 
+def minimizer_recompute_ok(params) -> bool:
+    """True when stored node sequences live in the same space the density
+    hash ran over, so native/seqwriter.cpp can re-derive minimizer values
+    from sequence bytes: plain density scheme (no syncmers/UHS/LCP/robust
+    remap) over reads that are already homopolymer-compressed (otherwise
+    device hashing is HPC-space while the stored seq is raw-space)."""
+    return (getattr(params, "reads_already_hpc", False)
+            and not params.use_syncmers
+            and not params.uhs
+            and not params.lcp
+            and not params.has_lmer_counts)
+
+
 class LazyNodes:
     """Device-side finalize result with chunked host fetch.
 
     Wraps the _finalize_compact output dict (device arrays padded to
     node_cap).  Scalar-ish fields fetch eagerly; `vec` fetches in chunks of
-    `chunk_rows` via vec_chunks().
+    `chunk_rows` via vec_chunks().  want_vec=False skips staging the vec
+    chunks entirely (recompute path).
     """
 
-    def __init__(self, out: dict, n_pass: int, chunk_rows: int = 16384):
+    def __init__(self, out: dict, n_pass: int, chunk_rows: int = 16384,
+                 want_vec: bool = True):
         self._out = out
         self.n_pass = n_pass
         self.chunk_rows = chunk_rows
-        # Slice out the transfers up front; meta/count (small, needed first)
-        # start their device->host copies immediately.  The (large) vec
+        # Slice out the transfers up front; small fields needed first (meta,
+        # count) start their device->host copies immediately; the overlap
+        # fingerprints (gk/gflag, recompute path) queue behind them and ride
+        # the relay while the .sequences writer threads run.  The (large) vec
         # chunks are fetched by a small thread pool in emit_device_outputs so
         # transfer overlaps the per-chunk host formatting/compression.
         self._pre = {}
-        for name in ("meta", "count"):
+        for name in ("meta", "count", "gk", "gflag"):
+            if name not in out:
+                continue
             self._pre[name] = self._slice(out[name])
             try:
                 self._pre[name].copy_to_host_async()
             except Exception:
                 pass
         self._chunks = []
-        c = chunk_rows
-        for row0 in range(0, n_pass, c):
-            self._chunks.append((row0, out["vec"][row0 : row0 + c]))
+        if want_vec:
+            c = chunk_rows
+            for row0 in range(0, n_pass, c):
+                self._chunks.append((row0, out["vec"][row0 : row0 + c]))
+
+    def has(self, name: str) -> bool:
+        return name in self._out
 
     def _slice(self, arr):
         cap2 = 1
@@ -67,6 +99,13 @@ class LazyNodes:
         ~20%)."""
         import concurrent.futures as cf
 
+        if not self._chunks and self.n_pass:
+            # want_vec=False but a caller needs vectors after all (e.g. the
+            # recompute writer hit a gate violation): stage chunks now
+            c = self.chunk_rows
+            for row0 in range(0, self.n_pass, c):
+                self._chunks.append((row0, self._out["vec"][row0 : row0 + c]))
+
         def pull(item):
             row0, a = item
             hi = min(row0 + self.chunk_rows, self.n_pass)
@@ -76,6 +115,19 @@ class LazyNodes:
             futs = [ex.submit(pull, it) for it in self._chunks]
             for f in futs:
                 yield f.result()
+
+
+def _node_offsets(params, meta, row_start_offsets):
+    """Decode the packed finalize meta into writer-ready arrays."""
+    seqlen = meta[:, 0].astype(np.int64)
+    shift0 = (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16)
+    shift1 = (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16)
+    rev = (meta[:, 2] >> 31).astype(np.uint8)
+    start = meta[:, 3].astype(np.int64)
+    read_g = meta[:, 4].astype(np.int64)
+    abs_start = row_start_offsets[read_g] + start
+    abs_end = abs_start + seqlen + (params.l - 2)
+    return shift0, shift1, rev, abs_start, abs_end
 
 
 def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
@@ -96,18 +148,17 @@ def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
     count = nodes.fetch("count")
     n = nodes.n_pass
     index = np.arange(n, dtype=np.uint32)
-    seqlen = meta[:, 0].astype(np.int64)
-    shift0 = (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16)
-    shift1 = (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16)
-    rev = (meta[:, 2] >> 31).astype(np.uint8)
-    start = meta[:, 3].astype(np.int64)
-    read_g = meta[:, 4].astype(np.int64)
-    abs_start = row_start_offsets[read_g] + start
-    abs_end = abs_start + seqlen + (params.l - 2)
+    shift0, shift1, rev, abs_start, abs_end = _node_offsets(
+        params, meta, row_start_offsets)
+    seqlen32 = meta[:, 0].astype(np.uint32)
+
+    if nodes.has("gk") and minimizer_recompute_ok(params):
+        return _emit_recompute(prefix, params, nodes, reads_buf, index, count,
+                               seqlen32, shift0, shift1, rev, abs_start,
+                               abs_end, no_basespace)
 
     writers: list[threading.Thread] = []
     gfa = IncrementalGFA(cap_hint=n)
-    seqlen32 = meta[:, 0].astype(np.uint32)
 
     shard = 0
     for row0, vec in nodes.vec_chunks():
@@ -138,4 +189,92 @@ def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
     g = gfa.finish(f"{prefix}.gfa", presimp=params.presimp)
     for t in writers:
         t.join()
+    return g
+
+
+def _rewrite_shards_from_vec(prefix, params, nodes, reads_buf, index,
+                             abs_start, abs_end, rev, shift0, shift1):
+    """Fallback for a recompute-gate violation: fetch the vectors after all
+    and rewrite every .sequences shard from them (correctness over speed —
+    this is never expected to run; the GFA is unaffected)."""
+    from ..io.sequences import write_records_native
+
+    shard = 0
+    for row0, vec in nodes.vec_chunks():
+        hi = row0 + len(vec)
+        write_records_native(
+            f"{prefix}.{shard}.sequences", params.k, params.l,
+            index[row0:hi], vec, reads_buf, abs_start[row0:hi],
+            abs_end[row0:hi], rev[row0:hi], shift0[row0:hi], shift1[row0:hi])
+        shard += 1
+    # remove leftover shards from the wider recompute split
+    import glob as _glob
+    import os as _os
+
+    for p in _glob.glob(f"{prefix}.*.sequences"):
+        try:
+            s = int(p.rsplit(".", 2)[-2])
+        except ValueError:
+            continue
+        if s >= shard:
+            try:
+                _os.remove(p)
+            except OSError:
+                pass
+
+
+def _emit_recompute(prefix, params, nodes, reads_buf, index, count, seqlen32,
+                    shift0, shift1, rev, abs_start, abs_end, no_basespace,
+                    n_shards: int = 8, accel: int = 1) -> dict:
+    """Recompute-path emission: writer threads re-derive minimizer text from
+    sequence bytes (no vec transfer) while the device fingerprints ride the
+    relay; then one GFA add_chunk + native edge join."""
+    from ..core.graph import IncrementalGFA
+    from ..io.sequences import write_records_native
+
+    n = nodes.n_pass
+    writers: list[threading.Thread] = []
+    errors: list[BaseException] = []
+
+    def _write(*a, **kw):
+        try:
+            write_records_native(*a, **kw)
+        except BaseException as e:  # surfaced after join
+            errors.append(e)
+
+    if not no_basespace and n:
+        n_shards = max(1, min(n_shards, (n + 4095) // 4096))
+        bounds = np.linspace(0, n, n_shards + 1).astype(int)
+        for s in range(n_shards):
+            a, b = bounds[s], bounds[s + 1]
+            t = threading.Thread(
+                target=_write,
+                args=(f"{prefix}.{s}.sequences", params.k, params.l,
+                      index[a:b], None, reads_buf, abs_start[a:b],
+                      abs_end[a:b], rev[a:b], shift0[a:b], shift1[a:b]),
+                kwargs=dict(hash_bound=params.hash_bound, accel=accel),
+            )
+            t.start()
+            writers.append(t)
+
+    # fingerprint fetch + edge join, overlapped with the writer threads
+    gk = nodes.fetch("gk")
+    gflag = nodes.fetch("gflag")
+    Fs, Fp, FsR, FpR = gk[:, 0:2], gk[:, 2:4], gk[:, 4:6], gk[:, 6:8]
+    key_suf = np.where((gflag & 1).astype(bool)[:, None], Fs, FsR)
+    key_pre = np.where((gflag & 2).astype(bool)[:, None], Fp, FpR)
+    gfa = IncrementalGFA(cap_hint=n)
+    gfa.add_chunk(index, count, seqlen32, shift0, shift1,
+                  (Fs, Fp, FsR, FpR, key_suf, key_pre))
+    g = gfa.finish(f"{prefix}.gfa", presimp=params.presimp)
+    for t in writers:
+        t.join()
+    if errors:
+        import warnings
+
+        warnings.warn(
+            f"minimizer recompute failed ({errors[0]}); rewriting .sequences "
+            "shards from device vectors")
+        _rewrite_shards_from_vec(prefix, params, nodes, reads_buf, index,
+                                 abs_start, abs_end, rev, shift0, shift1)
     return g

@@ -288,9 +288,12 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
         raise RuntimeError(
             "input exceeds whole-run HBM capacity and --minabund > 2 "
             "(chunked counting is exact only for minabund <= 2)")
+    from .device_out import minimizer_recompute_ok
+
     counter = DeviceNodeCounter(
         k=params.k, M=M, read_cap=read_cap, node_cap=1 << 22,
         minab=params.min_kmer_abundance, w_slot=W_slot,
+        emit_overlap_keys=minimizer_recompute_ok(params),
     )
     packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack)
     construct = make_fused_construct(params, B, L, M, CHUNK_BATCHES,

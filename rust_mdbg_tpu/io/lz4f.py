@@ -21,6 +21,11 @@ def _lib():
     lib.lz4f_compress_frame.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.lz4f_compress_frame_accel.restype = ctypes.c_int64
+    lib.lz4f_compress_frame_accel.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int,
+    ]
     lib.lz4f_decompress_frame.restype = ctypes.c_int64
     lib.lz4f_decompress_frame.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -28,11 +33,12 @@ def _lib():
     return lib
 
 
-def compress(data: bytes) -> bytes:
+def compress(data: bytes, accel: int = 1) -> bytes:
+    """accel > 1 = LZ4 skip-acceleration (faster, slightly larger output)."""
     lib = _lib()
     cap = len(data) + len(data) // 255 + 4096
     out = ctypes.create_string_buffer(cap)
-    n = lib.lz4f_compress_frame(data, len(data), out, cap)
+    n = lib.lz4f_compress_frame_accel(data, len(data), out, cap, int(accel))
     if n < 0:
         raise RuntimeError("lz4f compression failed")
     return out.raw[:n]

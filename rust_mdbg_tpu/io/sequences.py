@@ -55,11 +55,19 @@ class SequencesWriter:
 
 
 def write_records_native(path: str, k: int, l: int, index, vecs, reads_buf,
-                         abs_start, abs_end, rev, shift0, shift1):
+                         abs_start, abs_end, rev, shift0, shift1,
+                         hash_bound: int = 0, accel: int = 1):
     """Bulk-write node records with the native C++ writer (one pass:
     slice + revcomp + format + LZ4F).  `reads_buf` is a bytes-like buffer of
     raw ASCII bases; per node the sequence is reads_buf[abs_start:abs_end],
-    reverse-complemented where rev is set."""
+    reverse-complemented where rev is set.
+
+    vecs=None: the writer RE-DERIVES each node's k minimizer values from the
+    record's own sequence bytes (rolling ntHash + density rule hash_bound),
+    skipping the [n, k] u64 device->host transfer — only valid when hashing
+    space == sequence space (see native/seqwriter.cpp header + the
+    minimizer_recompute_ok gate in core/device_out.py).  `accel` is the LZ4
+    skip-acceleration factor (1 = max ratio)."""
     import ctypes
 
     import numpy as np
@@ -71,10 +79,19 @@ def write_records_native(path: str, k: int, l: int, index, vecs, reads_buf,
     lib.seqs_write.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int,
-    ] + [ctypes.c_void_p] * 8
+    ] + [ctypes.c_void_p] * 8 + [ctypes.c_uint64, ctypes.c_int]
 
     index = np.ascontiguousarray(index, dtype=np.uint32)
-    vecs = np.ascontiguousarray(vecs, dtype=np.uint64)
+    n = len(index)
+    if vecs is None:
+        k_ = k
+        vec_ptr = None
+        if not hash_bound:
+            raise ValueError("vecs=None requires hash_bound")
+    else:
+        vecs = np.ascontiguousarray(vecs, dtype=np.uint64)
+        n, k_ = vecs.shape
+        vec_ptr = vecs.ctypes.data_as(ctypes.c_void_p)
     abs_start = np.ascontiguousarray(abs_start, dtype=np.int64)
     abs_end = np.ascontiguousarray(abs_end, dtype=np.int64)
     rev = np.ascontiguousarray(rev, dtype=np.uint8)
@@ -90,16 +107,20 @@ def write_records_native(path: str, k: int, l: int, index, vecs, reads_buf,
             (ctypes.c_char * len(reads_buf)).from_buffer_copy(reads_buf),
             ctypes.c_void_p,
         )
-    n, k_ = vecs.shape
 
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
     r = lib.seqs_write(
         str(path).encode(), n, k_, k, l,
-        ptr(index), ptr(vecs), buf_ptr, ptr(abs_start), ptr(abs_end),
+        ptr(index), vec_ptr, buf_ptr, ptr(abs_start), ptr(abs_end),
         ptr(rev), ptr(shift0), ptr(shift1),
+        ctypes.c_uint64(int(hash_bound)), int(accel),
     )
+    if r == -2:
+        raise RuntimeError(
+            f"seqs_write minimizer recompute mismatch for {path} "
+            "(recompute gate violated)")
     if r != 0:
         raise RuntimeError(f"seqs_write failed for {path}")
 

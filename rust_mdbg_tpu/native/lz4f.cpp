@@ -65,9 +65,16 @@ uint32_t xxh32(const uint8_t* input, size_t len, uint32_t seed) {
 static inline uint32_t hash4(uint32_t v) { return (v * 2654435761U) >> 16; }
 
 // Returns compressed size, or 0 if incompressible / dst too small.
-int64_t lz4_compress_block(const uint8_t* src, int64_t src_len,
-                           uint8_t* dst, int64_t dst_cap) {
+// accel >= 1: skip-acceleration a la LZ4_compress_fast — after repeated
+// match misses the scan step grows (step = missCounter >> 6, seeded at
+// accel<<6), trading ratio for speed.  accel=1 scans every position until
+// 64 consecutive misses.  DNA text is match-dense, so high accel mainly
+// skips the rare incompressible stretches.
+int64_t lz4_compress_block_accel(const uint8_t* src, int64_t src_len,
+                                 uint8_t* dst, int64_t dst_cap, int accel) {
     if (src_len <= 0) return 0;
+    if (accel < 1) accel = 1;
+    const int kSkipTrigger = 6;
     uint32_t table[1 << 16];
     memset(table, 0xFF, sizeof(table));
     const uint8_t* ip = src;
@@ -76,6 +83,7 @@ int64_t lz4_compress_block(const uint8_t* src, int64_t src_len,
     const uint8_t* mflimit = iend - MFLIMIT;
     uint8_t* op = dst;
     uint8_t* oend = dst + dst_cap;
+    int64_t miss_nb = (int64_t)accel << kSkipTrigger;
 
     if (src_len >= MFLIMIT) {
         while (ip < mflimit) {
@@ -115,12 +123,13 @@ int64_t lz4_compress_block(const uint8_t* src, int64_t src_len,
                 } else *token |= (uint8_t)ml;
                 ip += mlen;
                 anchor = ip;
+                miss_nb = (int64_t)accel << kSkipTrigger;
                 if (ip < mflimit) {
                     // insert one position to improve future matches
                     table[hash4(read32(ip - 2))] = (uint32_t)(ip - 2 - src);
                 }
             } else {
-                ip++;
+                ip += miss_nb++ >> kSkipTrigger;
             }
         }
     }
@@ -137,6 +146,11 @@ int64_t lz4_compress_block(const uint8_t* src, int64_t src_len,
     } else *token = (uint8_t)(ll << 4);
     memcpy(op, anchor, litlen); op += litlen;
     return op - dst;
+}
+
+int64_t lz4_compress_block(const uint8_t* src, int64_t src_len,
+                           uint8_t* dst, int64_t dst_cap) {
+    return lz4_compress_block_accel(src, src_len, dst, dst_cap, 1);
 }
 
 // Returns decompressed size, or -1 on malformed input / overflow.
@@ -176,8 +190,8 @@ int64_t lz4_decompress_block(const uint8_t* src, int64_t src_len,
 // ---------- LZ4 frame ----------
 // Writes a complete frame for `src` into dst. Returns frame size or -1.
 // Block max size 4 MB, independent blocks, no checksums, no content size.
-int64_t lz4f_compress_frame(const uint8_t* src, int64_t src_len,
-                            uint8_t* dst, int64_t dst_cap) {
+int64_t lz4f_compress_frame_accel(const uint8_t* src, int64_t src_len,
+                                  uint8_t* dst, int64_t dst_cap, int accel) {
     const int64_t BLOCK = 4 * 1024 * 1024;
     uint8_t* op = dst;
     uint8_t* oend = dst + dst_cap;
@@ -197,7 +211,8 @@ int64_t lz4f_compress_frame(const uint8_t* src, int64_t src_len,
         if (op + 4 + n > oend) return -1;
         int64_t csz = 0;
         if (stored_streak < 2)
-            csz = lz4_compress_block(src + pos, n, op + 4, n - 1 > 0 ? n - 1 : 0);
+            csz = lz4_compress_block_accel(src + pos, n, op + 4,
+                                           n - 1 > 0 ? n - 1 : 0, accel);
         if (csz > 0 && csz < n) stored_streak = 0; else stored_streak++;
         uint32_t hdr;
         if (csz > 0 && csz < n) {
@@ -214,6 +229,11 @@ int64_t lz4f_compress_frame(const uint8_t* src, int64_t src_len,
     if (op + 4 > oend) return -1;
     memset(op, 0, 4); op += 4;  // end mark
     return op - dst;
+}
+
+int64_t lz4f_compress_frame(const uint8_t* src, int64_t src_len,
+                            uint8_t* dst, int64_t dst_cap) {
+    return lz4f_compress_frame_accel(src, src_len, dst, dst_cap, 1);
 }
 
 // Decompress a whole frame (or concatenated frames). Returns output size or -1.

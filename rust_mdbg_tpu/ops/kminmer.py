@@ -101,6 +101,19 @@ def canonicalize_jax(vecs):
     return canon, reversed_
 
 
+def le_rev_jax(vecs):
+    """vec <= reversed(vec) per row (palindrome: True) — the device twin of
+    core/graph._le_rev, used to pick normalized overlap keys on device."""
+    import jax.numpy as jnp
+
+    rev = vecs[..., ::-1]
+    ne = vecs != rev
+    first = jnp.argmax(ne, axis=-1)
+    a = jnp.take_along_axis(vecs, first[..., None], axis=-1)[..., 0]
+    b = jnp.take_along_axis(rev, first[..., None], axis=-1)[..., 0]
+    return jnp.where(ne.any(axis=-1), a < b, True)
+
+
 def fingerprint128_jax(vecs):
     import jax.numpy as jnp
 

@@ -195,13 +195,38 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab, node_cap,
     # meta layout matches the window-carrying path: (seqlen, shift0|valid<<31,
     # shift1|rev<<31, start, global read row)
     canon_vec, meta = _gather_window_meta(b_mh, b_mp, cross_occ_p, k=k, M=M)
-    return dict(
+    out = dict(
         key_lo=u_lo[order], key_hi=u_hi[order], count=counts[order],
         meta=meta, vec=canon_vec,
         # one bundled scalar fetch (each np.asarray round-trips the relay)
         stats3=jnp.stack([n_pass, n_unique_all,
                           jnp.maximum(node_overflow, n_pass - pass_cap)]),
     )
+    return out
+
+
+def _overlap_keys_device(canon_vec):
+    """GFA (k-1)-overlap fingerprints computed ON DEVICE so the host edge
+    join never needs the [n, k] u64 vectors: per node the 4 fingerprints
+    Fs/Fp/FsR/FpR (core/graph._overlap_keys twins) packed [n, 8] + a 2-bit
+    canonical-orientation flag.  64 B/node vs 8k B/node over the device->host
+    relay.  Dispatched as its OWN jit call after the finalize's stats fetch —
+    the u64 Horner math costs ~100-300 ms on device and must not delay the
+    blocking stats3 round-trip; here its latency hides under the .sequences
+    writer phase (core/device_out.py fetches gk last)."""
+    import jax.numpy as jnp
+
+    from .kminmer import fingerprint128_jax, le_rev_jax
+
+    suf = canon_vec[:, 1:]
+    pre = canon_vec[:, :-1]
+    gk = jnp.concatenate(
+        [fingerprint128_jax(suf), fingerprint128_jax(pre),
+         fingerprint128_jax(suf[:, ::-1]),
+         fingerprint128_jax(pre[:, ::-1])], axis=-1)
+    gflag = (le_rev_jax(suf).astype(jnp.uint8)
+             | (le_rev_jax(pre).astype(jnp.uint8) << 1))
+    return gk, gflag
 
 
 def _finalize_chunk(b_keys, b_occ, *, node_cap):
@@ -418,7 +443,7 @@ class DeviceNodeCounter:
 
     def __init__(self, k: int, M: int, read_cap: int, node_cap: int,
                  minab: int, pass_cap: int | None = None,
-                 w_slot: int | None = None):
+                 w_slot: int | None = None, emit_overlap_keys: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -431,6 +456,7 @@ class DeviceNodeCounter:
         self.node_cap = node_cap
         self.pass_cap = min(node_cap, pass_cap or (1 << 22))
         self.minab = minab
+        self.emit_overlap_keys = emit_overlap_keys
         self._jax = jax
         # sentinel-filled keys: untouched tail rows drop out in finalize
         self.buffers = (
@@ -439,16 +465,20 @@ class DeviceNodeCounter:
             jnp.zeros((read_cap, M), dtype=jnp.uint64),
             jnp.zeros((read_cap, M), dtype=jnp.int32),
         )
-        self._finalize = jax.jit(functools.partial(
-            _finalize_compact, k=k, M=M, minab=minab, node_cap=node_cap,
-            pass_cap=self.pass_cap,
-        ))
+        self._finalize = self._make_finalize()
         self._finalize_chunk = jax.jit(functools.partial(
             _finalize_chunk, node_cap=self.window_cap))
         self._gather = jax.jit(functools.partial(
             _gather_window_meta, k=k, M=M))
+        self._overlap_keys = jax.jit(_overlap_keys_device)
         self._refill = jax.jit(
             lambda b: jnp.full_like(b, ~jnp.uint64(0)), donate_argnums=(0,))
+
+    def _make_finalize(self):
+        return self._jax.jit(functools.partial(
+            _finalize_compact, k=self.k, M=self.M, minab=self.minab,
+            node_cap=self.node_cap, pass_cap=self.pass_cap,
+        ))
 
     def grow(self, min_read_cap: int):
         """Double the read capacity (at least to min_read_cap), copying the
@@ -481,10 +511,7 @@ class DeviceNodeCounter:
         self.buffers = widen(self.buffers, new_cap)
         self.read_cap = new_cap
         self.window_cap = new_cap * self.W_slot
-        self._finalize = self._jax.jit(functools.partial(
-            _finalize_compact, k=self.k, M=self.M, minab=self.minab,
-            node_cap=self.node_cap, pass_cap=self.pass_cap,
-        ))
+        self._finalize = self._make_finalize()
         self._finalize_chunk = self._jax.jit(functools.partial(
             _finalize_chunk, node_cap=self.window_cap))
 
@@ -514,23 +541,34 @@ class DeviceNodeCounter:
                                       self.node_cap):
                 self.pass_cap *= 2
             self.pass_cap = min(self.pass_cap, self.node_cap)
-            self._finalize = self._jax.jit(functools.partial(
-                _finalize_compact, k=self.k, M=self.M, minab=self.minab,
-                node_cap=self.node_cap, pass_cap=self.pass_cap,
-            ))
+            self._finalize = self._make_finalize()
             out = self._finalize(*self.buffers)
             n_pass, n_unique, node_overflow = (
                 int(x) for x in np.asarray(out["stats3"]))
         if lazy:
             from ..core.device_out import LazyNodes
 
-            return LazyNodes(out, n_pass)
+            if self.emit_overlap_keys:
+                # dispatched AFTER the blocking stats3 fetch, on the passing
+                # prefix only (power-of-2 shapes bound the compile count);
+                # runs async while the host starts the writer phase.  The
+                # recompute output path then never needs the [n, k] vec
+                # transfer.
+                cap2 = 1
+                while cap2 < max(1, n_pass):
+                    cap2 <<= 1
+                cap2 = min(cap2, out["vec"].shape[0])
+                gk, gflag = self._overlap_keys(out["vec"][:cap2])
+                out = dict(out, gk=gk, gflag=gflag)
+            return LazyNodes(out, n_pass,
+                             want_vec=not self.emit_overlap_keys)
         cap2 = 1
         while cap2 < max(1, n_pass):
             cap2 <<= 1
         cap2 = min(cap2, self.node_cap)
         res = {}
-        for name in ("key_lo", "key_hi", "count", "meta", "vec"):
+        for name in ("key_lo", "key_hi", "count", "meta", "vec", "gk",
+                     "gflag"):
             if name in out:
                 res[name] = np.asarray(out[name][:cap2])[:n_pass]
         res["index"] = np.arange(n_pass, dtype=np.uint32)
