@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Time the recompute emit path stage by stage at bench scale."""
+import os, sys, time, threading
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rust_mdbg_tpu.params import Params
+    from rust_mdbg_tpu.ops.extract import DeviceExtractor
+    from rust_mdbg_tpu.ops.sort_count import (DeviceNodeCounter,
+                                              make_fused_construct,
+                                              window_slot_capacity)
+    from rust_mdbg_tpu.core.device_out import _node_offsets
+    from rust_mdbg_tpu.core.graph import IncrementalGFA
+    from rust_mdbg_tpu.io.sequences import write_records_native
+    from rust_mdbg_tpu.utils.seq import CODE_BASE
+    from bench import synth_reads
+
+    p = Params(k=21, l=14, density=0.003, min_kmer_abundance=2,
+               engine="pallas", batch_reads=128, reads_already_hpc=True)
+    genome, starts, L = synth_reads()
+    B = p.batch_reads
+    n_reads = len(starts) - (len(starts) % B)
+    n_batches = n_reads // B
+    dev = DeviceExtractor(p)
+    M = dev.capacity(L)
+    W_slot = window_slot_capacity(p, B, L, M)
+    counter = DeviceNodeCounter(k=p.k, M=M, read_cap=n_reads,
+                                node_cap=1 << 18, minab=2, w_slot=W_slot,
+                                emit_overlap_keys=True)
+    construct = make_fused_construct(p, B, L, M, n_batches, w_slot=W_slot)
+
+    genome_dev = jax.device_put(genome)
+    starts_dev = jax.device_put(starts[:n_reads].astype(np.int32))
+    all_lengths = jax.device_put(np.full((n_reads,), L, dtype=np.int32))
+
+    @jax.jit
+    def stage(g, st):
+        return g[st[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]]
+    all_codes = stage(genome_dev, starts_dev)
+    genome_ascii = CODE_BASE[genome]
+    prefix = "/tmp/mdbg_bench/prof10"
+
+    def run_once():
+        t0 = time.perf_counter()
+        bufs, _n, n_over = construct(all_codes, all_lengths, counter.buffers)
+        counter.buffers = bufs
+        np.asarray(n_over)
+        t_loop = time.perf_counter() - t0
+        nodes = counter.finalize(lazy=True)
+        t_fin = time.perf_counter() - t0 - t_loop
+
+        te = time.perf_counter()
+        meta = nodes.fetch("meta")
+        count = nodes.fetch("count")
+        t_meta = time.perf_counter() - te
+        n = nodes.n_pass
+        index = np.arange(n, dtype=np.uint32)
+        shift0, shift1, rev, abs_start, abs_end = _node_offsets(
+            p, meta, starts.astype(np.int64))
+        seqlen32 = meta[:, 0].astype(np.uint32)
+
+        writers = []
+        tw = {}
+        def w(s, a, b):
+            w0 = time.perf_counter()
+            write_records_native(f"{prefix}.{s}.sequences", p.k, p.l,
+                                 index[a:b], None, genome_ascii,
+                                 abs_start[a:b], abs_end[a:b], rev[a:b],
+                                 shift0[a:b], shift1[a:b],
+                                 hash_bound=p.hash_bound, accel=1)
+            tw[s] = time.perf_counter() - w0
+        bounds = np.linspace(0, n, 9).astype(int)
+        t_spawn0 = time.perf_counter()
+        for s in range(8):
+            t = threading.Thread(target=w, args=(s, bounds[s], bounds[s+1]))
+            t.start()
+            writers.append(t)
+        tg = time.perf_counter()
+        gk = nodes.fetch("gk")
+        gflag = nodes.fetch("gflag")
+        t_gk = time.perf_counter() - tg
+        Fs, Fp, FsR, FpR = gk[:, 0:2], gk[:, 2:4], gk[:, 4:6], gk[:, 6:8]
+        key_suf = np.where((gflag & 1).astype(bool)[:, None], Fs, FsR)
+        key_pre = np.where((gflag & 2).astype(bool)[:, None], Fp, FpR)
+        tgf = time.perf_counter()
+        gfa = IncrementalGFA(cap_hint=n)
+        gfa.add_chunk(index, count, seqlen32, shift0, shift1,
+                      (Fs, Fp, FsR, FpR, key_suf, key_pre))
+        t_add = time.perf_counter() - tgf
+        g = gfa.finish(f"{prefix}.gfa", presimp=p.presimp)
+        t_gfa = time.perf_counter() - tgf
+        tj = time.perf_counter()
+        for t in writers:
+            t.join()
+        t_join = time.perf_counter() - tj
+        wall = time.perf_counter() - t0
+        return dict(wall=wall, loop=t_loop, fin=t_fin, meta=t_meta,
+                    gk=t_gk, gfa_add=t_add, gfa=t_gfa, join=t_join,
+                    wsum=sum(tw.values()), wmax=max(tw.values()),
+                    emit=wall - t_loop - t_fin)
+
+    run_once()
+    r = min((run_once() for _ in range(2)), key=lambda d: d["wall"])
+    for k2, v in r.items():
+        print(f"{k2}: {v:.3f}")
+
+
+if __name__ == "__main__":
+    main()

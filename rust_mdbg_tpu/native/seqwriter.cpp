@@ -71,12 +71,26 @@ inline char* u64toa(uint64_t v, char* p) {
     return p;
 }
 
+// Per-l pre-rotated seed tables for the rolling recurrences (2 rotl64 per
+// base saved; the l is fixed per writer call).
+struct RollTables {
+    uint64_t h_l[256];    // rotl(H[x], l)
+    uint64_t rc_l1[256];  // rotl(RC[x], l-1)
+    explicit RollTables(int l) {
+        for (int i = 0; i < 256; i++) {
+            h_l[i] = rotl64(h_tab[i], l);
+            rc_l1[i] = rotl64(rc_tab[i], l - 1);
+        }
+    }
+};
+
 // Append the k selected minimizer values of seq[0..m) to buf as
 // "v0, v1, ...".  Returns 0 on success, -1 if the density selection over the
 // span does not reproduce exactly k minimizers anchored at both ends (which
 // would mean the caller's gate was wrong — never expected).
 int recompute_minimizers(const uint8_t* seq, int64_t m, int l, int k,
-                         uint64_t bound, std::string& buf) {
+                         uint64_t bound, const RollTables& rt,
+                         std::string& buf) {
     if (m < l) return -1;
     uint64_t fh = 0, rh = 0;
     for (int j = 0; j < l; j++) {
@@ -100,8 +114,8 @@ int recompute_minimizers(const uint8_t* seq, int64_t m, int l, int k,
         // rolling ntHash v1 (derivation in ops/nthash.py docstring form):
         //   fh' = rotl(fh,1) ^ rotl(H[s_i], l) ^ H[s_{i+l}]
         //   rh' = rotr(rh ^ RC[s_i], 1) ^ rotl(RC[s_{i+l}], l-1)
-        fh = rotl64(fh, 1) ^ rotl64(h_tab[seq[i]], l) ^ h_tab[seq[i + l]];
-        rh = rotl64(rh ^ rc_tab[seq[i]], 63) ^ rotl64(rc_tab[seq[i + l]], l - 1);
+        fh = rotl64(fh, 1) ^ rt.h_l[seq[i]] ^ h_tab[seq[i + l]];
+        rh = rotl64(rh ^ rc_tab[seq[i]], 63) ^ rt.rc_l1[seq[i + l]];
     }
     if (found != k || first != 0 || last != nwin) return -1;
     return 0;
@@ -138,6 +152,7 @@ int64_t seqs_write(const char* path, int64_t n, int k, int header_k,
                    uint64_t hash_bound, int accel) {
     FILE* f = fopen(path, "wb");
     if (!f) return -1;
+    RollTables rt(header_l);
     std::string buf;
     buf.reserve(8 << 20);
     std::vector<uint8_t> scratch;
@@ -172,7 +187,7 @@ int64_t seqs_write(const char* path, int64_t n, int k, int header_k,
             }
         } else {
             if (recompute_minimizers(seq, b - a, header_l, k, hash_bound,
-                                     buf) != 0) {
+                                     rt, buf) != 0) {
                 fclose(f);
                 remove(path);
                 return -2;
