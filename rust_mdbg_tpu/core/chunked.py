@@ -116,8 +116,17 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     nb_windows = 0
     h2d_bytes = 0   # fed over the host->device link (relay-leak accounting)
     chunk_i = 0
+    # recompute mode (density + already-HPC, core/device_out gate): fetch
+    # 65 B/node GFA fingerprints instead of 8k B/node vectors, and let the
+    # native writer re-derive minimizer text from sequence bytes — slims both
+    # the device->host link and the host-RSS vector accumulation
+    from .device_out import minimizer_recompute_ok
+
+    rec_ok = minimizer_recompute_ok(params)
     vec_ids: list[np.ndarray] = []
-    vec_arrs: list[np.ndarray] = []
+    vec_arrs: list[np.ndarray] = []   # [n, k] u64 vectors (vector mode)
+    gk_arrs: list[np.ndarray] = []    # [n, 8] u64 fingerprints (recompute)
+    gf_arrs: list[np.ndarray] = []    # [n] u8 orientation flags
 
     def flush_chunk(staged, lens_d, blob, blob_off, fill, Lc):
         """One chunk through: device reduce -> native merge -> crossing
@@ -150,7 +159,11 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
             occs = np.where(sel[cross] == 1, res["occ1"][cross],
                             res["occ2"][cross]).astype(np.uint32)
             with timer.phase("gather"):
-                vec, meta = counter.gather_crossing(occs)
+                if rec_ok:
+                    vec = None
+                    gk, gflag, meta = counter.gather_crossing_keys(occs)
+                else:
+                    vec, meta = counter.gather_crossing(occs)
             seqlen = meta[:, 0].astype(np.uint32)
             shift0 = (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16)
             shift1 = (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16)
@@ -160,7 +173,11 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                                      res["key_hi"][cross],
                                      seqlen, shift0, shift1)
                 vec_ids.append(index[cross].copy())
-                vec_arrs.append(vec)
+                if rec_ok:
+                    gk_arrs.append(gk)
+                    gf_arrs.append(gflag)
+                else:
+                    vec_arrs.append(vec)
             if not params.no_basespace:
                 with timer.phase("sequences"):
                     start = meta[:, 3].astype(np.int64)
@@ -170,7 +187,8 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                     write_records_native(
                         f"{prefix}.{chunk_i}.sequences", params.k, params.l,
                         index[cross], vec, blob, abs_start, abs_end, rev,
-                        shift0, shift1)
+                        shift0, shift1,
+                        hash_bound=params.hash_bound if rec_ok else 0)
         with timer.phase("reset"):
             counter.reset_chunk()
         chunk_i += 1
@@ -236,15 +254,30 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
         if params.min_kmer_abundance > 1:
             table.retain(params.min_kmer_abundance)
         nodes = table.dump(params.min_kmer_abundance)
-        if vec_ids:
-            ids = np.concatenate(vec_ids)
-            varr = np.concatenate(vec_arrs)
-            varr = varr[np.argsort(ids, kind="stable")]
+        order = (np.argsort(np.concatenate(vec_ids), kind="stable")
+                 if vec_ids else np.zeros(0, dtype=np.int64))
+        if rec_ok:
+            gk = (np.concatenate(gk_arrs) if gk_arrs
+                  else np.zeros((0, 8), dtype=np.uint64))[order]
+            gf = (np.concatenate(gf_arrs) if gf_arrs
+                  else np.zeros(0, dtype=np.uint8))[order]
+            assert len(gk) == len(nodes["index"]), \
+                "crossing set diverged from passing set"
+            from .graph import build_gfa_precomputed
+
+            Fs, Fp, FsR, FpR = gk[:, 0:2], gk[:, 2:4], gk[:, 4:6], gk[:, 6:8]
+            key_suf = np.where((gf & 1).astype(bool)[:, None], Fs, FsR)
+            key_pre = np.where((gf & 2).astype(bool)[:, None], Fp, FpR)
+            g = build_gfa_precomputed(
+                f"{prefix}.gfa", nodes,
+                (Fs, Fp, FsR, FpR, key_suf, key_pre), presimp=params.presimp)
         else:
-            varr = np.zeros((0, params.k), dtype=np.uint64)
-        assert len(varr) == len(nodes["index"]), \
-            "crossing set diverged from passing set"
-        g = build_gfa(f"{prefix}.gfa", nodes, varr, presimp=params.presimp)
+            varr = (np.concatenate(vec_arrs) if vec_arrs
+                    else np.zeros((0, params.k), dtype=np.uint64))[order]
+            assert len(varr) == len(nodes["index"]), \
+                "crossing set diverged from passing set"
+            g = build_gfa(f"{prefix}.gfa", nodes, varr,
+                          presimp=params.presimp)
     stats.update(g)
     stats["phases"] = timer.report()
     # per-chunk distribution (mean/max) — stragglers matter at 30+ chunks

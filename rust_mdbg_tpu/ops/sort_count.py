@@ -471,6 +471,13 @@ class DeviceNodeCounter:
         self._gather = jax.jit(functools.partial(
             _gather_window_meta, k=k, M=M))
         self._overlap_keys = jax.jit(_overlap_keys_device)
+
+        def gather_keys(b_mh, b_mp, occs):
+            vec, meta = _gather_window_meta(b_mh, b_mp, occs, k=k, M=M)
+            gk, gflag = _overlap_keys_device(vec)
+            return gk, gflag, meta
+
+        self._gather_keys = jax.jit(gather_keys)
         self._refill = jax.jit(
             lambda b: jnp.full_like(b, ~jnp.uint64(0)), donate_argnums=(0,))
 
@@ -611,6 +618,24 @@ class DeviceNodeCounter:
         vec, meta = self._gather(self.buffers[2], self.buffers[3],
                                  jnp.asarray(padded))
         return np.asarray(vec)[:n], np.asarray(meta)[:n]
+
+    def gather_crossing_keys(self, occs: np.ndarray):
+        """Like gather_crossing but returns (gk, gflag, meta) — the GFA
+        overlap fingerprints computed on device — instead of the canonical
+        vectors: 65 B/node over the device->host link instead of 8k B, for
+        the chunked path when the .sequences writer re-derives minimizer
+        text from sequence bytes (core/device_out.minimizer_recompute_ok)."""
+        import jax.numpy as jnp
+
+        n = len(occs)
+        cap2 = 8
+        while cap2 < n:
+            cap2 <<= 1
+        padded = np.zeros(cap2, dtype=np.uint32)
+        padded[:n] = occs
+        gk, gflag, meta = self._gather_keys(
+            self.buffers[2], self.buffers[3], jnp.asarray(padded))
+        return np.asarray(gk)[:n], np.asarray(gflag)[:n], np.asarray(meta)[:n]
 
     def reset_chunk(self):
         """Sentinel-refill the key buffer for the next chunk (stale occ/mh/mp

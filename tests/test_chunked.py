@@ -80,6 +80,25 @@ def test_chunked_matches_device_whole_run(tmp_path):
     assert _node_content(pa) == _node_content(pb)
 
 
+def test_chunked_recompute_mode_matches_host(tmp_path):
+    """already-HPC density inputs take the slim fetch path (device GFA
+    fingerprints + writer minimizer recompute, 65 B/node instead of 8k) —
+    outputs must stay identical to the host oracle."""
+    from rust_mdbg_tpu.core.device_out import minimizer_recompute_ok
+
+    ph = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2,
+                engine="host", reads_already_hpc=True)
+    pc = ph.replace(engine="device")
+    assert minimizer_recompute_ok(pc)
+    pa = str(tmp_path / "host")
+    pb = str(tmp_path / "chunk")
+    assemble(EXAMPLE, ph, pa)
+    s = assemble_device_chunked(EXAMPLE, pc, pb, chunk_reads=192)
+    assert s["nb_chunks"] >= 3
+    assert _gfa_node_set(pa) == _gfa_node_set(pb)
+    assert _node_content(pa) == _node_content(pb)
+
+
 def test_chunked_minabund_gate():
     p = Params(k=7, l=10, density=0.0008, min_kmer_abundance=3,
                engine="device")
