@@ -63,7 +63,7 @@ class LazyNodes:
         # chunks are fetched by a small thread pool in emit_device_outputs so
         # transfer overlaps the per-chunk host formatting/compression.
         self._pre = {}
-        for name in ("meta", "count", "gk", "gflag"):
+        for name in ("meta", "count", "gflag"):
             if name not in out:
                 continue
             self._pre[name] = self._slice(out[name])
@@ -71,6 +71,18 @@ class LazyNodes:
                 self._pre[name].copy_to_host_async()
             except Exception:
                 pass
+        # the fingerprint array is fetched in chunks so the per-chunk GFA
+        # S-line/index build overlaps the next chunk's transfer
+        self._gk_chunks = []
+        if "gk" in out:
+            c = max(8192, chunk_rows // 2)
+            for row0 in range(0, n_pass, c):
+                sl = out["gk"][row0 : row0 + c]
+                try:
+                    sl.copy_to_host_async()
+                except Exception:
+                    pass
+                self._gk_chunks.append((row0, sl))
         self._chunks = []
         if want_vec:
             c = chunk_rows
@@ -88,9 +100,21 @@ class LazyNodes:
         return arr[:cap2]
 
     def fetch(self, name: str) -> np.ndarray:
+        if name == "gk" and self._gk_chunks:
+            return np.concatenate(
+                [np.asarray(a)[: self.n_pass - r]
+                 for r, a in self._gk_chunks])
         if name in self._pre:
             return np.asarray(self._pre[name])[: self.n_pass]
         return np.asarray(self._slice(self._out[name]))[: self.n_pass]
+
+    def gk_chunks(self):
+        """Yield (row0, gk_chunk) in row order; transfers were started async
+        at construction, so chunk i+1 rides the relay while the caller feeds
+        chunk i to the native GFA builder."""
+        for row0, a in self._gk_chunks:
+            hi = min(row0 + a.shape[0], self.n_pass)
+            yield row0, np.asarray(a)[: hi - row0]
 
     def vec_chunks(self):
         """Yield (row0, vec_chunk ndarray) in row order, with the next
@@ -257,15 +281,19 @@ def _emit_recompute(prefix, params, nodes, reads_buf, index, count, seqlen32,
             t.start()
             writers.append(t)
 
-    # fingerprint fetch + edge join, overlapped with the writer threads
-    gk = nodes.fetch("gk")
+    # fingerprint fetch + edge join, overlapped with the writer threads;
+    # chunked so the S-line/km_index build rides under the next transfer
     gflag = nodes.fetch("gflag")
-    Fs, Fp, FsR, FpR = gk[:, 0:2], gk[:, 2:4], gk[:, 4:6], gk[:, 6:8]
-    key_suf = np.where((gflag & 1).astype(bool)[:, None], Fs, FsR)
-    key_pre = np.where((gflag & 2).astype(bool)[:, None], Fp, FpR)
     gfa = IncrementalGFA(cap_hint=n)
-    gfa.add_chunk(index, count, seqlen32, shift0, shift1,
-                  (Fs, Fp, FsR, FpR, key_suf, key_pre))
+    for row0, gk in nodes.gk_chunks():
+        hi = row0 + len(gk)
+        Fs, Fp, FsR, FpR = gk[:, 0:2], gk[:, 2:4], gk[:, 4:6], gk[:, 6:8]
+        gf = gflag[row0:hi]
+        key_suf = np.where((gf & 1).astype(bool)[:, None], Fs, FsR)
+        key_pre = np.where((gf & 2).astype(bool)[:, None], Fp, FpR)
+        gfa.add_chunk(index[row0:hi], count[row0:hi], seqlen32[row0:hi],
+                      shift0[row0:hi], shift1[row0:hi],
+                      (Fs, Fp, FsR, FpR, key_suf, key_pre))
     g = gfa.finish(f"{prefix}.gfa", presimp=params.presimp)
     for t in writers:
         t.join()
