@@ -161,9 +161,10 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
             with timer.phase("gather"):
                 if rec_ok:
                     vec = None
-                    gk, gflag, meta = counter.gather_crossing_keys(occs)
+                    gk, gflag, meta, mpos = counter.gather_crossing_keys(occs)
                 else:
                     vec, meta = counter.gather_crossing(occs)
+                    mpos = None
             seqlen = meta[:, 0].astype(np.uint32)
             shift0 = (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16)
             shift1 = (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16)
@@ -188,7 +189,8 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                         f"{prefix}.{chunk_i}.sequences", params.k, params.l,
                         index[cross], vec, blob, abs_start, abs_end, rev,
                         shift0, shift1,
-                        hash_bound=params.hash_bound if rec_ok else 0)
+                        hash_bound=params.hash_bound if rec_ok else 0,
+                        mpos=mpos)
         with timer.phase("reset"):
             counter.reset_chunk()
         chunk_i += 1

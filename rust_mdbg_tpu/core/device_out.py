@@ -63,7 +63,7 @@ class LazyNodes:
         # chunks are fetched by a small thread pool in emit_device_outputs so
         # transfer overlaps the per-chunk host formatting/compression.
         self._pre = {}
-        for name in ("meta", "count", "gflag"):
+        for name in ("meta", "count", "mpos", "gflag"):
             if name not in out:
                 continue
             self._pre[name] = self._slice(out[name])
@@ -267,6 +267,10 @@ def _emit_recompute(prefix, params, nodes, reads_buf, index, count, seqlen32,
             errors.append(e)
 
     if not no_basespace and n:
+        # device-computed record-space minimizer positions (84 B/node,
+        # prefetched async at LazyNodes construction): the writer hashes k
+        # l-mers per node instead of rolling over every base
+        mpos = nodes.fetch("mpos") if nodes.has("mpos") else None
         n_shards = max(1, min(n_shards, (n + 4095) // 4096))
         bounds = np.linspace(0, n, n_shards + 1).astype(int)
         for s in range(n_shards):
@@ -276,7 +280,8 @@ def _emit_recompute(prefix, params, nodes, reads_buf, index, count, seqlen32,
                 args=(f"{prefix}.{s}.sequences", params.k, params.l,
                       index[a:b], None, reads_buf, abs_start[a:b],
                       abs_end[a:b], rev[a:b], shift0[a:b], shift1[a:b]),
-                kwargs=dict(hash_bound=params.hash_bound, accel=accel),
+                kwargs=dict(hash_bound=params.hash_bound, accel=accel,
+                            mpos=None if mpos is None else mpos[a:b]),
             )
             t.start()
             writers.append(t)

@@ -56,18 +56,21 @@ class SequencesWriter:
 
 def write_records_native(path: str, k: int, l: int, index, vecs, reads_buf,
                          abs_start, abs_end, rev, shift0, shift1,
-                         hash_bound: int = 0, accel: int = 1):
+                         hash_bound: int = 0, accel: int = 1, mpos=None):
     """Bulk-write node records with the native C++ writer (one pass:
     slice + revcomp + format + LZ4F).  `reads_buf` is a bytes-like buffer of
     raw ASCII bases; per node the sequence is reads_buf[abs_start:abs_end],
     reverse-complemented where rev is set.
 
     vecs=None: the writer RE-DERIVES each node's k minimizer values from the
-    record's own sequence bytes (rolling ntHash + density rule hash_bound),
+    record's own sequence bytes (ntHash + density rule hash_bound),
     skipping the [n, k] u64 device->host transfer — only valid when hashing
     space == sequence space (see native/seqwriter.cpp header + the
-    minimizer_recompute_ok gate in core/device_out.py).  `accel` is the LZ4
-    skip-acceleration factor (1 = max ratio)."""
+    minimizer_recompute_ok gate in core/device_out.py).  With `mpos`
+    ([n, k] u32 record-space positions, stored orientation) the writer hashes
+    only the k l-mers at those positions instead of rolling over every base
+    (~10x less hashing).  `accel` is the LZ4 skip-acceleration factor
+    (1 = max ratio)."""
     import ctypes
 
     import numpy as np
@@ -79,7 +82,8 @@ def write_records_native(path: str, k: int, l: int, index, vecs, reads_buf,
     lib.seqs_write.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int,
-    ] + [ctypes.c_void_p] * 8 + [ctypes.c_uint64, ctypes.c_int]
+    ] + [ctypes.c_void_p] * 8 + [ctypes.c_uint64, ctypes.c_int,
+                                 ctypes.c_void_p]
 
     index = np.ascontiguousarray(index, dtype=np.uint32)
     n = len(index)
@@ -111,11 +115,15 @@ def write_records_native(path: str, k: int, l: int, index, vecs, reads_buf,
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
+    mpos_ptr = None
+    if mpos is not None:
+        mpos = np.ascontiguousarray(mpos, dtype=np.uint32)
+        mpos_ptr = mpos.ctypes.data_as(ctypes.c_void_p)
     r = lib.seqs_write(
         str(path).encode(), n, k_, k, l,
         ptr(index), vec_ptr, buf_ptr, ptr(abs_start), ptr(abs_end),
         ptr(rev), ptr(shift0), ptr(shift1),
-        ctypes.c_uint64(int(hash_bound)), int(accel),
+        ctypes.c_uint64(int(hash_bound)), int(accel), mpos_ptr,
     )
     if r == -2:
         raise RuntimeError(

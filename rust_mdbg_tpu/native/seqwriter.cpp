@@ -121,6 +121,34 @@ int recompute_minimizers(const uint8_t* seq, int64_t m, int l, int k,
     return 0;
 }
 
+// Positions mode: the device supplies each node's k minimizer positions
+// within the stored record sequence (already in stored orientation), so the
+// value re-derivation hashes exactly k l-mers instead of rolling over every
+// base (~10x less hashing; the rolling scan dominated writer CPU).  Same
+// validation posture: anchored at both ends, strictly increasing, and every
+// value must pass the density rule — a hashing-space mismatch (wrong caller
+// gate) fails the bound check exactly like the rolling mode would.
+int positions_minimizers(const uint8_t* seq, int64_t m, int l, int k,
+                         uint64_t bound, const uint32_t* mp,
+                         std::string& buf) {
+    if (m < l || mp[0] != 0 || (int64_t)mp[k - 1] != m - l) return -1;
+    char num[24];
+    for (int j = 0; j < k; j++) {
+        int64_t p = mp[j];
+        if (p + l > m || (j && mp[j] <= mp[j - 1])) return -1;
+        uint64_t fh = 0, rh = 0;
+        for (int t = 0; t < l; t++) {
+            fh ^= rotl64(h_tab[seq[p + t]], l - 1 - t);
+            rh ^= rotl64(rc_tab[seq[p + t]], t);
+        }
+        uint64_t c = fh < rh ? fh : rh;
+        if (c > bound) return -1;
+        if (j) buf += ", ";
+        buf.append(num, u64toa(c, num) - num);
+    }
+    return 0;
+}
+
 void flush_frame(FILE* f, std::string& buf, std::vector<uint8_t>& scratch,
                  int accel) {
     if (buf.empty()) return;
@@ -141,7 +169,9 @@ extern "C" {
 // success, -2 if minimizer recompute failed (file is removed).  reads_buf
 // holds raw ASCII bases; per node the slice is [abs_start[i], abs_end[i]).
 // vecs may be NULL: minimizers are then recomputed from the sequence (see
-// header comment) with window l = header_l and the density bound hash_bound.
+// header comment) with window l = header_l and the density bound hash_bound —
+// at positions mpos[i*k..] (record space, stored orientation) when mpos is
+// non-NULL, else by a rolling scan over every base.
 int64_t seqs_write(const char* path, int64_t n, int k, int header_k,
                    int header_l,
                    const uint32_t* index, const uint64_t* vecs,
@@ -149,7 +179,7 @@ int64_t seqs_write(const char* path, int64_t n, int k, int header_k,
                    const int64_t* abs_start, const int64_t* abs_end,
                    const uint8_t* rev,
                    const uint16_t* s0, const uint16_t* s1,
-                   uint64_t hash_bound, int accel) {
+                   uint64_t hash_bound, int accel, const uint32_t* mpos) {
     FILE* f = fopen(path, "wb");
     if (!f) return -1;
     RollTables rt(header_l);
@@ -186,8 +216,12 @@ int64_t seqs_write(const char* path, int64_t n, int k, int header_k,
                 if (j + 1 < k) buf += ", ";
             }
         } else {
-            if (recompute_minimizers(seq, b - a, header_l, k, hash_bound,
-                                     rt, buf) != 0) {
+            int rc = mpos
+                ? positions_minimizers(seq, b - a, header_l, k, hash_bound,
+                                       mpos + i * k, buf)
+                : recompute_minimizers(seq, b - a, header_l, k, hash_bound,
+                                       rt, buf);
+            if (rc != 0) {
                 fclose(f);
                 remove(path);
                 return -2;

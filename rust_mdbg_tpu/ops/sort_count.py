@@ -124,7 +124,7 @@ def window_slot_capacity(params, B: int, L: int, M: int) -> int:
 
 
 def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab, node_cap,
-                      pass_cap):
+                      pass_cap, emit_mpos=False):
     """Sort + segment-reduce for the single-chip compact layout.
 
     b_keys [read_cap*W_slot, 2] batch-compacted (valid windows packed to the
@@ -194,14 +194,17 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab, node_cap,
     cross_occ_p = cross_occ[order_p]
     # meta layout matches the window-carrying path: (seqlen, shift0|valid<<31,
     # shift1|rev<<31, start, global read row)
-    canon_vec, meta = _gather_window_meta(b_mh, b_mp, cross_occ_p, k=k, M=M)
+    gw = _gather_window_meta(b_mh, b_mp, cross_occ_p, k=k, M=M,
+                             with_record_pos=emit_mpos)
     out = dict(
         key_lo=u_lo[order], key_hi=u_hi[order], count=counts[order],
-        meta=meta, vec=canon_vec,
+        meta=gw[1], vec=gw[0],
         # one bundled scalar fetch (each np.asarray round-trips the relay)
         stats3=jnp.stack([n_pass, n_unique_all,
                           jnp.maximum(node_overflow, n_pass - pass_cap)]),
     )
+    if emit_mpos:
+        out["mpos"] = gw[2]
     return out
 
 
@@ -285,11 +288,18 @@ def _finalize_chunk(b_keys, b_occ, *, node_cap):
     )
 
 
-def _gather_window_meta(b_mh, b_mp, occs, *, k, M):
+def _gather_window_meta(b_mh, b_mp, occs, *, k, M, with_record_pos=False):
     """Reconstruct (canonical vec, seqlen, shift0, shift1, rev, start, row)
     for a list of window occurrences (chunk-local), gathering k-slices from
     the compact per-read minimizer rows — shared by the whole-run finalize
-    and the chunked path's crossing-occurrence gather."""
+    and the chunked path's crossing-occurrence gather.
+
+    with_record_pos=True additionally returns mpos [n, k] u32: each
+    minimizer's position within the node's STORED record sequence (already
+    flipped into stored orientation for reversed crossings) — the native
+    .sequences writer uses these to re-derive values by hashing exactly k
+    l-mers instead of rolling over every base (native/seqwriter.cpp
+    positions mode)."""
     import jax.numpy as jnp
 
     from .kminmer import canonicalize_jax
@@ -316,7 +326,14 @@ def _gather_window_meta(b_mh, b_mp, occs, *, k, M):
         ],
         axis=-1,
     )
-    return canon_vec, meta
+    if not with_record_pos:
+        return canon_vec, meta
+    # record length is span + l, so the last l-mer starts at span = rel[k-1];
+    # a reversed record stores revcomp(seq), where the l-mer at forward
+    # offset r starts at span - r
+    rel = pos_f - pos_f[:, :1]
+    mpos = jnp.where(rev[:, None], rel[:, -1:] - rel[:, ::-1], rel)
+    return canon_vec, meta, mpos.astype(jnp.uint32)
 
 
 def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
@@ -473,9 +490,10 @@ class DeviceNodeCounter:
         self._overlap_keys = jax.jit(_overlap_keys_device)
 
         def gather_keys(b_mh, b_mp, occs):
-            vec, meta = _gather_window_meta(b_mh, b_mp, occs, k=k, M=M)
+            vec, meta, mpos = _gather_window_meta(b_mh, b_mp, occs, k=k, M=M,
+                                                  with_record_pos=True)
             gk, gflag = _overlap_keys_device(vec)
-            return gk, gflag, meta
+            return gk, gflag, meta, mpos
 
         self._gather_keys = jax.jit(gather_keys)
         self._refill = jax.jit(
@@ -485,6 +503,7 @@ class DeviceNodeCounter:
         return self._jax.jit(functools.partial(
             _finalize_compact, k=self.k, M=self.M, minab=self.minab,
             node_cap=self.node_cap, pass_cap=self.pass_cap,
+            emit_mpos=self.emit_overlap_keys,
         ))
 
     def grow(self, min_read_cap: int):
@@ -575,7 +594,7 @@ class DeviceNodeCounter:
         cap2 = min(cap2, self.node_cap)
         res = {}
         for name in ("key_lo", "key_hi", "count", "meta", "vec", "gk",
-                     "gflag"):
+                     "gflag", "mpos"):
             if name in out:
                 res[name] = np.asarray(out[name][:cap2])[:n_pass]
         res["index"] = np.arange(n_pass, dtype=np.uint32)
@@ -620,11 +639,13 @@ class DeviceNodeCounter:
         return np.asarray(vec)[:n], np.asarray(meta)[:n]
 
     def gather_crossing_keys(self, occs: np.ndarray):
-        """Like gather_crossing but returns (gk, gflag, meta) — the GFA
+        """Like gather_crossing but returns (gk, gflag, meta, mpos) — the GFA
         overlap fingerprints computed on device — instead of the canonical
-        vectors: 65 B/node over the device->host link instead of 8k B, for
+        vectors: ~150 B/node over the device->host link instead of 8k B, for
         the chunked path when the .sequences writer re-derives minimizer
-        text from sequence bytes (core/device_out.minimizer_recompute_ok)."""
+        text from sequence bytes (core/device_out.minimizer_recompute_ok);
+        mpos feeds the writer's positions mode (hash k l-mers, not a rolling
+        scan)."""
         import jax.numpy as jnp
 
         n = len(occs)
@@ -633,9 +654,10 @@ class DeviceNodeCounter:
             cap2 <<= 1
         padded = np.zeros(cap2, dtype=np.uint32)
         padded[:n] = occs
-        gk, gflag, meta = self._gather_keys(
+        gk, gflag, meta, mpos = self._gather_keys(
             self.buffers[2], self.buffers[3], jnp.asarray(padded))
-        return np.asarray(gk)[:n], np.asarray(gflag)[:n], np.asarray(meta)[:n]
+        return (np.asarray(gk)[:n], np.asarray(gflag)[:n],
+                np.asarray(meta)[:n], np.asarray(mpos)[:n])
 
     def reset_chunk(self):
         """Sentinel-refill the key buffer for the next chunk (stale occ/mh/mp

@@ -102,19 +102,34 @@ def test_writer_recompute_direct(tmp_path):
     vec = canon[sel[i0 : i0 + k]].astype(np.uint64)
     blob = CODE_BASE[codes]
 
+    rel = (sel[i0 : i0 + k] - sel[i0]).astype(np.uint32)
+    m = span[1] - span[0]
     for rev_flag, tag in ((0, "fwd"), (1, "rev")):
         v = vec[::-1] if rev_flag else vec
+        mpos = ((m - l) - rel[::-1]).astype(np.uint32) if rev_flag else rel
         path = str(tmp_path / f"direct_{tag}.0.sequences")
         ref = str(tmp_path / f"ref_{tag}.0.sequences")
+        pos = str(tmp_path / f"pos_{tag}.0.sequences")
         args = ([0], None, blob, [span[0]], [span[1]], [rev_flag], [3], [4])
         write_records_native(path, k, l, *args, hash_bound=bound, accel=3)
         argv = ([0], v[None, :], blob, [span[0]], [span[1]], [rev_flag],
                 [3], [4])
         write_records_native(ref, k, l, *argv)
+        # positions mode: same record from device-supplied record-space
+        # positions (stored orientation), no rolling scan
+        write_records_native(pos, k, l, *args, hash_bound=bound,
+                             mpos=mpos[None, :])
         ra = list(iter_sequences(str(tmp_path / f"direct_{tag}")))
         rb = list(iter_sequences(str(tmp_path / f"ref_{tag}")))
-        assert ra == rb and len(ra) == 1
+        rc = list(iter_sequences(str(tmp_path / f"pos_{tag}")))
+        assert ra == rb == rc and len(ra) == 1
         assert ra[0]["minimizers"] == tuple(int(x) for x in v)
+        # positions-mode gate: a non-increasing position must fail loudly
+        badp = mpos.copy()
+        badp[1] = badp[0]
+        with pytest.raises(RuntimeError, match="recompute"):
+            write_records_native(str(tmp_path / "badp.0.sequences"), k, l,
+                                 *args, hash_bound=bound, mpos=badp[None, :])
 
 
 def test_writer_recompute_gate_violation(tmp_path):
