@@ -249,7 +249,7 @@ def _rewrite_shards_from_vec(prefix, params, nodes, reads_buf, index,
 
 def _emit_recompute(prefix, params, nodes, reads_buf, index, count, seqlen32,
                     shift0, shift1, rev, abs_start, abs_end, no_basespace,
-                    n_shards: int = 8, accel: int = 1) -> dict:
+                    n_shards: int = 8, accel: int = 2) -> dict:
     """Recompute-path emission: writer threads re-derive minimizer text from
     sequence bytes (no vec transfer) while the device fingerprints ride the
     relay; then one GFA add_chunk + native edge join."""

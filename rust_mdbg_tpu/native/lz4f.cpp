@@ -70,6 +70,15 @@ static inline uint32_t hash4(uint32_t v) { return (v * 2654435761U) >> 16; }
 // accel<<6), trading ratio for speed.  accel=1 scans every position until
 // 64 consecutive misses.  DNA text is match-dense, so high accel mainly
 // skips the rare incompressible stretches.
+static inline uint64_t read64(const uint8_t* p) { uint64_t v; memcpy(&v, p, 8); return v; }
+
+// 8-byte-chunk copy; may write up to 7 bytes past d+n (callers keep slack)
+// and read up to 7 bytes past s+n — safe for literal runs, which always end
+// >= MFLIMIT-LASTLITERALS bytes before the input end.
+static inline void wildcopy8(uint8_t* d, const uint8_t* s, int64_t n) {
+    while (n > 0) { memcpy(d, s, 8); d += 8; s += 8; n -= 8; }
+}
+
 int64_t lz4_compress_block_accel(const uint8_t* src, int64_t src_len,
                                  uint8_t* dst, int64_t dst_cap, int accel) {
     if (src_len <= 0) return 0;
@@ -93,34 +102,44 @@ int64_t lz4_compress_block_accel(const uint8_t* src, int64_t src_len,
             if (cand != 0xFFFFFFFFU && (ip - src) - cand <= 65535 &&
                 read32(src + cand) == read32(ip)) {
                 const uint8_t* match = src + cand;
-                // extend match
+                // extend match 8 bytes at a time (ctz finds the first diff)
                 const uint8_t* mp = match + MINMATCH;
                 const uint8_t* sp = ip + MINMATCH;
                 const uint8_t* matchlimit = iend - LASTLITERALS;
+                while (sp + 8 <= matchlimit) {
+                    uint64_t x = read64(sp) ^ read64(mp);
+                    if (x) { sp += __builtin_ctzll(x) >> 3; goto ext_done; }
+                    sp += 8; mp += 8;
+                }
                 while (sp < matchlimit && *sp == *mp) { sp++; mp++; }
+                ext_done:;
                 int64_t mlen = sp - ip;            // total match length
                 int64_t litlen = ip - anchor;
-                // emit token
-                int64_t worst = 1 + litlen + litlen / 255 + 1 + 2 + (mlen - MINMATCH) / 255 + 1;
-                if (op + worst > oend) return 0;
+                // emit token (literals wildcopied with 15 B slack; bound
+                // covers token + varints + offset + slack)
+                if (op + litlen + (litlen >> 8) + (mlen >> 8) + 40 > oend)
+                    return 0;
                 uint8_t* token = op++;
-                int64_t ll = litlen;
-                if (ll >= 15) {
+                if (litlen < 15) {
+                    *token = (uint8_t)(litlen << 4);
+                } else {
                     *token = 15 << 4;
-                    ll -= 15;
+                    int64_t ll = litlen - 15;
                     while (ll >= 255) { *op++ = 255; ll -= 255; }
                     *op++ = (uint8_t)ll;
-                } else *token = (uint8_t)(ll << 4);
-                memcpy(op, anchor, litlen); op += litlen;
+                }
+                wildcopy8(op, anchor, litlen);
+                op += litlen;
                 int64_t off = ip - match;
                 *op++ = (uint8_t)off; *op++ = (uint8_t)(off >> 8);
                 int64_t ml = mlen - MINMATCH;
-                if (ml >= 15) {
+                if (ml < 15) *token |= (uint8_t)ml;
+                else {
                     *token |= 15;
                     ml -= 15;
                     while (ml >= 255) { *op++ = 255; ml -= 255; }
                     *op++ = (uint8_t)ml;
-                } else *token |= (uint8_t)ml;
+                }
                 ip += mlen;
                 anchor = ip;
                 miss_nb = (int64_t)accel << kSkipTrigger;
