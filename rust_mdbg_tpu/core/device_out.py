@@ -52,9 +52,14 @@ class LazyNodes:
     """
 
     def __init__(self, out: dict, n_pass: int, chunk_rows: int = 16384,
-                 want_vec: bool = True):
+                 want_vec: bool = True, row_lo: int = 0):
         self._out = out
         self.n_pass = n_pass
+        # phased emission: rows [0, row_lo) were already emitted by an
+        # earlier-prefix finalize (crossing order makes them an exact prefix
+        # of this result), so only [row_lo, n_pass) is prefetched/yielded
+        self.row_lo = row_lo
+        self.n_new = n_pass - row_lo
         self.chunk_rows = chunk_rows
         # Slice out the transfers up front; small fields needed first (meta,
         # count) start their device->host copies immediately; the overlap
@@ -76,7 +81,7 @@ class LazyNodes:
         self._gk_chunks = []
         if "gk" in out:
             c = max(8192, chunk_rows // 2)
-            for row0 in range(0, n_pass, c):
+            for row0 in range(self._lo_r(), n_pass, c):
                 sl = out["gk"][row0 : row0 + c]
                 try:
                     sl.copy_to_host_async()
@@ -86,48 +91,73 @@ class LazyNodes:
         self._chunks = []
         if want_vec:
             c = chunk_rows
-            for row0 in range(0, n_pass, c):
+            for row0 in range(self._lo_r(), n_pass, c):
                 self._chunks.append((row0, out["vec"][row0 : row0 + c]))
 
     def has(self, name: str) -> bool:
         return name in self._out
+
+    def _lo_r(self) -> int:
+        # row_lo rounded down to an 8k boundary: bounded set of slice shapes
+        return self.row_lo & ~8191
 
     def _slice(self, arr):
         cap2 = 1
         while cap2 < max(1, self.n_pass):
             cap2 <<= 1
         cap2 = min(cap2, arr.shape[0])
-        return arr[:cap2]
+        return arr[self._lo_r() : cap2]
 
     def fetch(self, name: str) -> np.ndarray:
+        """Host array for rows [row_lo, n_pass) — the phase's NEW nodes."""
+        trim = self.row_lo - self._lo_r()
         if name == "gk" and self._gk_chunks:
-            return np.concatenate(
-                [np.asarray(a)[: self.n_pass - r]
-                 for r, a in self._gk_chunks])
+            parts = []
+            for r, a in self._gk_chunks:
+                hi = min(r + a.shape[0], self.n_pass)
+                parts.append(np.asarray(a)[: hi - r])
+            return np.concatenate(parts)[trim:]
         if name in self._pre:
-            return np.asarray(self._pre[name])[: self.n_pass]
-        return np.asarray(self._slice(self._out[name]))[: self.n_pass]
+            arr = np.asarray(self._pre[name])
+            return arr[: self.n_pass - self._lo_r()][trim:]
+        return np.asarray(self._slice(self._out[name]))[
+            : self.n_pass - self._lo_r()][trim:]
+
+    def fetch_full(self, name: str) -> np.ndarray:
+        """Host array for ALL rows [0, n_pass) regardless of row_lo (the
+        whole-run abundance fetch at finish time)."""
+        cap2 = 1
+        while cap2 < max(1, self.n_pass):
+            cap2 <<= 1
+        arr = self._out[name]
+        cap2 = min(cap2, arr.shape[0])
+        return np.asarray(arr[:cap2])[: self.n_pass]
 
     def gk_chunks(self):
-        """Yield (row0, gk_chunk) in row order; transfers were started async
-        at construction, so chunk i+1 rides the relay while the caller feeds
-        chunk i to the native GFA builder."""
+        """Yield (row0 - row_lo, gk_chunk) in row order for rows >= row_lo;
+        transfers were started async at construction, so chunk i+1 rides the
+        relay while the caller feeds chunk i to the native GFA builder."""
         for row0, a in self._gk_chunks:
             hi = min(row0 + a.shape[0], self.n_pass)
-            yield row0, np.asarray(a)[: hi - row0]
+            arr = np.asarray(a)[: hi - row0]
+            if row0 < self.row_lo:
+                arr = arr[self.row_lo - row0 :]
+                row0 = self.row_lo
+            if len(arr):
+                yield row0 - self.row_lo, arr
 
     def vec_chunks(self):
-        """Yield (row0, vec_chunk ndarray) in row order, with the next
-        transfers in flight on fetcher threads while the caller processes
-        the current chunk (the relay moves ~25 MB/s; two streams gain
-        ~20%)."""
+        """Yield (row0 - row_lo, vec_chunk ndarray) in row order, with the
+        next transfers in flight on fetcher threads while the caller
+        processes the current chunk (the relay moves ~25 MB/s; two streams
+        gain ~20%)."""
         import concurrent.futures as cf
 
-        if not self._chunks and self.n_pass:
+        if not self._chunks and self.n_new:
             # want_vec=False but a caller needs vectors after all (e.g. the
             # recompute writer hit a gate violation): stage chunks now
             c = self.chunk_rows
-            for row0 in range(0, self.n_pass, c):
+            for row0 in range(self._lo_r(), self.n_pass, c):
                 self._chunks.append((row0, self._out["vec"][row0 : row0 + c]))
 
         def pull(item):
@@ -138,7 +168,12 @@ class LazyNodes:
         with cf.ThreadPoolExecutor(2) as ex:
             futs = [ex.submit(pull, it) for it in self._chunks]
             for f in futs:
-                yield f.result()
+                row0, arr = f.result()
+                if row0 < self.row_lo:
+                    arr = arr[self.row_lo - row0 :]
+                    row0 = self.row_lo
+                if len(arr):
+                    yield row0 - self.row_lo, arr
 
 
 def _node_offsets(params, meta, row_start_offsets):
@@ -168,6 +203,12 @@ def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
     from ..core.graph import IncrementalGFA, _fp_pair, _le_rev
     from ..io.sequences import write_records_native
 
+    if nodes.has("gk") and minimizer_recompute_ok(params):
+        em = PhasedEmitter(prefix, params, reads_buf, row_start_offsets,
+                           no_basespace=no_basespace, cap_hint=nodes.n_pass)
+        em.emit_phase(nodes)
+        return em.finish(nodes.fetch_full("count"))
+
     meta = nodes.fetch("meta")
     count = nodes.fetch("count")
     n = nodes.n_pass
@@ -175,11 +216,6 @@ def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
     shift0, shift1, rev, abs_start, abs_end = _node_offsets(
         params, meta, row_start_offsets)
     seqlen32 = meta[:, 0].astype(np.uint32)
-
-    if nodes.has("gk") and minimizer_recompute_ok(params):
-        return _emit_recompute(prefix, params, nodes, reads_buf, index, count,
-                               seqlen32, shift0, shift1, rev, abs_start,
-                               abs_end, no_basespace)
 
     writers: list[threading.Thread] = []
     gfa = IncrementalGFA(cap_hint=n)
@@ -216,98 +252,140 @@ def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
     return g
 
 
-def _rewrite_shards_from_vec(prefix, params, nodes, reads_buf, index,
-                             abs_start, abs_end, rev, shift0, shift1):
-    """Fallback for a recompute-gate violation: fetch the vectors after all
-    and rewrite every .sequences shard from them (correctness over speed —
-    this is never expected to run; the GFA is unaffected)."""
-    from ..io.sequences import write_records_native
+class PhasedEmitter:
+    """Recompute-path emission, one phase at a time.
 
-    shard = 0
-    for row0, vec in nodes.vec_chunks():
-        hi = row0 + len(vec)
-        write_records_native(
-            f"{prefix}.{shard}.sequences", params.k, params.l,
-            index[row0:hi], vec, reads_buf, abs_start[row0:hi],
-            abs_end[row0:hi], rev[row0:hi], shift0[row0:hi], shift1[row0:hi])
-        shard += 1
-    # remove leftover shards from the wider recompute split
-    import glob as _glob
-    import os as _os
+    Each phase receives the nodes whose abundance CROSSING fell inside the
+    phase's window range (ops/sort_count finalize `cross_lo`); their
+    .sequences records and GFA index rows are final at that point — only the
+    abundance keeps growing, so the S-line KC values arrive late via
+    `finish(counts)` (deferred-S native builder).  The whole point: phases
+    1..K-1 run while the device is still counting later batches, so the
+    emission CPU (writers, LZ4, km_index build) hides under the construct
+    loop instead of serializing after it.
 
-    for p in _glob.glob(f"{prefix}.*.sequences"):
-        try:
-            s = int(p.rsplit(".", 2)[-2])
-        except ValueError:
-            continue
-        if s >= shard:
-            try:
-                _os.remove(p)
-            except OSError:
-                pass
+    Single-shot use (emit_device_outputs) is one emit_phase + finish."""
 
+    def __init__(self, prefix, params, reads_buf, row_start_offsets,
+                 no_basespace: bool = False, cap_hint: int = 0,
+                 accel: int = 2):
+        from ..core.graph import IncrementalGFA
 
-def _emit_recompute(prefix, params, nodes, reads_buf, index, count, seqlen32,
-                    shift0, shift1, rev, abs_start, abs_end, no_basespace,
-                    n_shards: int = 8, accel: int = 2) -> dict:
-    """Recompute-path emission: writer threads re-derive minimizer text from
-    sequence bytes (no vec transfer) while the device fingerprints ride the
-    relay; then one GFA add_chunk + native edge join."""
-    from ..core.graph import IncrementalGFA
-    from ..io.sequences import write_records_native
+        self.prefix = prefix
+        self.params = params
+        self.reads_buf = reads_buf
+        self.row_off = row_start_offsets
+        self.no_basespace = no_basespace
+        self.accel = accel
+        self.gfa = IncrementalGFA(cap_hint=cap_hint, defer_abundance=True)
+        self.writers: list[threading.Thread] = []
+        self.errors: list[BaseException] = []
+        self.shard = 0
+        self.id_base = 0
+        self._phases: list[tuple] = []  # fallback state (gate violation)
 
-    n = nodes.n_pass
-    writers: list[threading.Thread] = []
-    errors: list[BaseException] = []
+    def _write(self, *a, **kw):
+        from ..io.sequences import write_records_native
 
-    def _write(*a, **kw):
         try:
             write_records_native(*a, **kw)
-        except BaseException as e:  # surfaced after join
-            errors.append(e)
+        except BaseException as e:  # surfaced at finish
+            self.errors.append(e)
 
-    if not no_basespace and n:
-        # device-computed record-space minimizer positions (84 B/node,
-        # prefetched async at LazyNodes construction): the writer hashes k
-        # l-mers per node instead of rolling over every base
-        mpos = nodes.fetch("mpos") if nodes.has("mpos") else None
-        n_shards = max(1, min(n_shards, (n + 4095) // 4096))
-        bounds = np.linspace(0, n, n_shards + 1).astype(int)
-        for s in range(n_shards):
-            a, b = bounds[s], bounds[s + 1]
-            t = threading.Thread(
-                target=_write,
-                args=(f"{prefix}.{s}.sequences", params.k, params.l,
-                      index[a:b], None, reads_buf, abs_start[a:b],
-                      abs_end[a:b], rev[a:b], shift0[a:b], shift1[a:b]),
-                kwargs=dict(hash_bound=params.hash_bound, accel=accel,
-                            mpos=None if mpos is None else mpos[a:b]),
-            )
-            t.start()
-            writers.append(t)
+    def emit_phase(self, nodes: LazyNodes, n_shards: int = 8):
+        p = self.params
+        n = nodes.n_new
+        if n == 0:
+            return
+        meta = nodes.fetch("meta")
+        index = np.arange(self.id_base, self.id_base + n, dtype=np.uint32)
+        self.id_base += n
+        shift0, shift1, rev, abs_start, abs_end = _node_offsets(
+            p, meta, self.row_off)
+        seqlen32 = meta[:, 0].astype(np.uint32)
 
-    # fingerprint fetch + edge join, overlapped with the writer threads;
-    # chunked so the S-line/km_index build rides under the next transfer
-    gflag = nodes.fetch("gflag")
-    gfa = IncrementalGFA(cap_hint=n)
-    for row0, gk in nodes.gk_chunks():
-        hi = row0 + len(gk)
-        Fs, Fp, FsR, FpR = gk[:, 0:2], gk[:, 2:4], gk[:, 4:6], gk[:, 6:8]
-        gf = gflag[row0:hi]
-        key_suf = np.where((gf & 1).astype(bool)[:, None], Fs, FsR)
-        key_pre = np.where((gf & 2).astype(bool)[:, None], Fp, FpR)
-        gfa.add_chunk(index[row0:hi], count[row0:hi], seqlen32[row0:hi],
-                      shift0[row0:hi], shift1[row0:hi],
-                      (Fs, Fp, FsR, FpR, key_suf, key_pre))
-    g = gfa.finish(f"{prefix}.gfa", presimp=params.presimp)
-    for t in writers:
-        t.join()
-    if errors:
-        import warnings
+        if not self.no_basespace:
+            # device-computed record-space minimizer positions (84 B/node,
+            # prefetched async at LazyNodes construction): the writer hashes
+            # k l-mers per node instead of rolling over every base
+            mpos = nodes.fetch("mpos") if nodes.has("mpos") else None
+            n_shards = max(1, min(n_shards, (n + 4095) // 4096))
+            bounds = np.linspace(0, n, n_shards + 1).astype(int)
+            for s in range(n_shards):
+                a, b = bounds[s], bounds[s + 1]
+                t = threading.Thread(
+                    target=self._write,
+                    args=(f"{self.prefix}.{self.shard}.sequences", p.k, p.l,
+                          index[a:b], None, self.reads_buf, abs_start[a:b],
+                          abs_end[a:b], rev[a:b], shift0[a:b], shift1[a:b]),
+                    kwargs=dict(hash_bound=p.hash_bound, accel=self.accel,
+                                mpos=None if mpos is None else mpos[a:b]),
+                )
+                t.start()
+                self.writers.append(t)
+                self.shard += 1
 
-        warnings.warn(
-            f"minimizer recompute failed ({errors[0]}); rewriting .sequences "
-            "shards from device vectors")
-        _rewrite_shards_from_vec(prefix, params, nodes, reads_buf, index,
-                                 abs_start, abs_end, rev, shift0, shift1)
-    return g
+        # fingerprint fetch + km_index build, overlapped with the writer
+        # threads; chunked so the build rides under the next transfer
+        gflag = nodes.fetch("gflag")
+        for row0, gk in nodes.gk_chunks():
+            hi = row0 + len(gk)
+            Fs, Fp, FsR, FpR = gk[:, 0:2], gk[:, 2:4], gk[:, 4:6], gk[:, 6:8]
+            gf = gflag[row0:hi]
+            key_suf = np.where((gf & 1).astype(bool)[:, None], Fs, FsR)
+            key_pre = np.where((gf & 2).astype(bool)[:, None], Fp, FpR)
+            self.gfa.add_chunk(index[row0:hi], np.zeros(hi - row0, np.uint32),
+                               seqlen32[row0:hi], shift0[row0:hi],
+                               shift1[row0:hi],
+                               (Fs, Fp, FsR, FpR, key_suf, key_pre))
+        self._phases.append((nodes, index, abs_start, abs_end, rev,
+                             shift0, shift1))
+
+    def finish(self, counts: np.ndarray) -> dict:
+        """counts: whole-run abundances for ALL emitted nodes, in id order
+        (= global crossing order = the per-phase feed order concatenated)."""
+        self.gfa.set_abundance(counts)
+        g = self.gfa.finish(f"{self.prefix}.gfa", presimp=self.params.presimp)
+        for t in self.writers:
+            t.join()
+        if self.errors:
+            import warnings
+
+            warnings.warn(
+                f"minimizer recompute failed ({self.errors[0]}); rewriting "
+                ".sequences shards from device vectors")
+            self._rewrite_from_vec()
+        return g
+
+    def _rewrite_from_vec(self):
+        """Correctness fallback for a recompute-gate violation: fetch the
+        vectors after all and rewrite every shard (never expected to run;
+        the GFA is unaffected)."""
+        from ..io.sequences import write_records_native
+
+        shard = 0
+        for nodes, index, abs_start, abs_end, rev, shift0, shift1 \
+                in self._phases:
+            for row0, vec in nodes.vec_chunks():
+                hi = row0 + len(vec)
+                write_records_native(
+                    f"{self.prefix}.{shard}.sequences", self.params.k,
+                    self.params.l, index[row0:hi], vec, self.reads_buf,
+                    abs_start[row0:hi], abs_end[row0:hi], rev[row0:hi],
+                    shift0[row0:hi], shift1[row0:hi])
+                shard += 1
+        import glob as _glob
+        import os as _os
+
+        for pth in _glob.glob(f"{self.prefix}.*.sequences"):
+            try:
+                s = int(pth.rsplit(".", 2)[-2])
+            except ValueError:
+                continue
+            if s >= shard:
+                try:
+                    _os.remove(pth)
+                except OSError:
+                    pass
+
+

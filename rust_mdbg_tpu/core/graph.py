@@ -71,7 +71,7 @@ class IncrementalGFA:
     and writes the file.  Chunks must arrive in node-id order — S lines and
     km_index insertion order follow feed order (main.rs:1023-1032)."""
 
-    def __init__(self, cap_hint: int = 0):
+    def __init__(self, cap_hint: int = 0, defer_abundance: bool = False):
         import ctypes
 
         from ..native import load
@@ -87,9 +87,26 @@ class IncrementalGFA:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_void_p]
         self._lib.gfa_abort.restype = None
         self._lib.gfa_abort.argtypes = [ctypes.c_void_p]
+        self._lib.gfa_defer_s.restype = None
+        self._lib.gfa_defer_s.argtypes = [ctypes.c_void_p]
+        self._lib.gfa_set_abundance.restype = None
+        self._lib.gfa_set_abundance.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         self._h = self._lib.gfa_begin(int(cap_hint))
+        if defer_abundance:
+            # phased feeding: S lines render at finish, after set_abundance
+            self._lib.gfa_defer_s(self._h)
         self._ctypes = ctypes
         self.n_nodes = 0
+
+    def set_abundance(self, abundance):
+        """Overwrite abundances (feed order) before finish — phased feeding
+        supplies whole-run counts only after the last phase's finalize."""
+        import numpy as np
+
+        ab = np.ascontiguousarray(abundance, dtype=np.uint32)
+        self._lib.gfa_set_abundance(
+            self._h, ab.ctypes.data_as(self._ctypes.c_void_p), len(ab))
 
     def add_chunk(self, index, abundance, seqlen, shift0, shift1, keys6):
         import numpy as np

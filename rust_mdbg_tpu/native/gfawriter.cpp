@@ -47,6 +47,11 @@ struct Builder {
     // per-node fingerprints and normalized probe keys, [n, 2] u64 flattened
     std::vector<uint64_t> fs, fp, fsr, fpr, ksuf, kpre;
     std::unordered_map<U128, std::vector<uint32_t>, U128Hash> km_index;
+    // phased feeding: chunks arrive before final abundances are known (the
+    // counts of early-crossing nodes keep growing while later batches are
+    // still being counted), so S-line formatting is deferred to finish and
+    // gfa_set_abundance supplies the whole-run counts late.
+    bool defer_s = false;
 };
 
 void add_chunk_impl(Builder* b, int64_t n,
@@ -70,9 +75,11 @@ void add_chunk_impl(Builder* b, int64_t n,
     b->ksuf.insert(b->ksuf.end(), ksuf, ksuf + 2 * n);
     b->kpre.insert(b->kpre.end(), kpre, kpre + 2 * n);
     for (int64_t i = 0; i < n; i++) {
-        snprintf(line, sizeof line, "S\t%u\t*\tLN:i:%u\tKC:i:%u\n",
-                 index[i], seqlen[i], abundance[i]);
-        b->s_lines += line;
+        if (!b->defer_s) {
+            snprintf(line, sizeof line, "S\t%u\t*\tLN:i:%u\tKC:i:%u\n",
+                     index[i], seqlen[i], abundance[i]);
+            b->s_lines += line;
+        }
         // insertion order parity: pre then suf per node (main.rs:1023-1032)
         b->km_index[U128{kpre[2 * i], kpre[2 * i + 1]}].push_back(
             (uint32_t)(base + i));
@@ -88,7 +95,16 @@ int64_t finish_impl(Builder* b, const char* path, double presimp,
     std::string buf;
     buf.reserve(16 << 20);
     buf += "H\tVN:Z:1.0\n";
-    buf += b->s_lines;
+    if (b->defer_s) {
+        char line_[128];
+        for (size_t i = 0; i < b->index.size(); i++) {
+            snprintf(line_, sizeof line_, "S\t%u\t*\tLN:i:%u\tKC:i:%u\n",
+                     b->index[i], b->seqlen[i], b->abundance[i]);
+            buf += line_;
+        }
+    } else {
+        buf += b->s_lines;
+    }
     b->s_lines.clear();
     b->s_lines.shrink_to_fit();
     char line[128];
@@ -220,6 +236,17 @@ int64_t gfa_finish(void* h, const char* path, double presimp,
 }
 
 void gfa_abort(void* h) { delete (Builder*)h; }
+
+// Phased feeding: defer S-line formatting until finish (final abundances
+// arrive late via gfa_set_abundance).  Call before the first add_chunk.
+void gfa_defer_s(void* h) { ((Builder*)h)->defer_s = true; }
+
+// Overwrite the first n abundance values (row order = feed order).
+void gfa_set_abundance(void* h, const uint32_t* ab, int64_t n) {
+    Builder* b = (Builder*)h;
+    if (n > (int64_t)b->abundance.size()) n = (int64_t)b->abundance.size();
+    memcpy(b->abundance.data(), ab, (size_t)n * sizeof(uint32_t));
+}
 
 // fp arrays are [n, 2] u64 (lo, hi): fs = F(suffix), fp_ = F(prefix),
 // fsr = F(rev suffix), fpr = F(rev prefix), ksuf/kpre = normalized keys.

@@ -25,8 +25,11 @@ ORIGINAL per-read window count M - k + 1, not W_slot).
 Only the compacted per-node results ever cross the device->host link — the
 axon relay's ~30 MB/s fetch rate makes every byte count.
 
-Node IDs: deterministic first-occurrence order, replacing the reference's
-thread-arrival-order atomic (main.rs:598).
+Node IDs: deterministic crossing-occurrence order (the order the reference
+writes .sequences records, main.rs:693-707), replacing its thread-arrival-order
+atomic (main.rs:598); equal to first-occurrence order when min_abundance == 1.
+Crossing order is monotone in the window stream, which lets the phased driver
+emit nodes while later batches are still being counted (finalize prefix_rows).
 """
 
 from __future__ import annotations
@@ -123,8 +126,8 @@ def window_slot_capacity(params, B: int, L: int, M: int) -> int:
     return max(8, min(W, (w + 7) & ~7))
 
 
-def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab, node_cap,
-                      pass_cap, emit_mpos=False):
+def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
+                      node_cap, pass_cap, emit_mpos=False, prefix_rows=None):
     """Sort + segment-reduce for the single-chip compact layout.
 
     b_keys [read_cap*W_slot, 2] batch-compacted (valid windows packed to the
@@ -132,10 +135,24 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab, node_cap,
     original window coordinates occ = read_row*W + w, b_mh/b_mp
     [read_cap, M].  Crossing-occurrence metadata is reconstructed by
     gathering k-slices from mh/mp at (occ // W, occ % W).
+
+    Node ids are assigned in CROSSING-occurrence order (the deterministic
+    stand-in for the reference's thread-arrival-order atomic, and the order
+    in which the reference writes .sequences records, main.rs:693-707; for
+    minab == 1 this equals first-occurrence order).  Crossing order is
+    monotone as more windows arrive, which is what makes phased emission
+    possible: `prefix_rows` (static) finalizes only the filled buffer prefix,
+    and a later finalize over a longer prefix reproduces the earlier passing
+    rows as an EXACT prefix of its own (a node's crossing occurrence never
+    changes once crossed) — so phase i emits row range [n_pass_{i-1},
+    n_pass_i) and the final full finalize supplies whole-run counts for all.
     """
     import jax
     import jax.numpy as jnp
 
+    if prefix_rows is not None:
+        b_keys = b_keys[:prefix_rows]
+        b_occ = b_occ[:prefix_rows]
     N = b_keys.shape[0]
     node_cap = min(node_cap, N - 1)
     pass_cap = min(pass_cap, node_cap)
@@ -166,7 +183,6 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab, node_cap,
     hp = jnp.minimum(head_pos, N - 1)
     u_lo = slo[hp]
     u_hi = shi[hp]
-    first_occ = socc[hp]
     # segment of the last head ends at n_valid; a missing (i+1)-th head
     # searches to N which the clamp folds back to n_valid.  Slots past
     # n_unique_all clamp to zero-length segments -> count 0 -> never pass.
@@ -181,8 +197,8 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab, node_cap,
     node_overflow = jnp.maximum(0, n_unique_all - node_cap)
 
     # compact passing nodes to the front (one more small sort) so the host
-    # fetches only a prefix, already in deterministic first-occurrence order
-    ordkey = jnp.where(passing, first_occ, jnp.uint32(0xFFFFFFFF))
+    # fetches only a prefix, already in deterministic crossing order
+    ordkey = jnp.where(passing, cross_occ, jnp.uint32(0xFFFFFFFF))
     n_pass = passing.sum().astype(jnp.int32)
     cap_iota = jax.lax.broadcasted_iota(jnp.uint32, (node_cap, 1), 0)[:, 0]
     _, order = jax.lax.sort((ordkey, cap_iota), num_keys=1)
@@ -384,9 +400,15 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
     sentinel = ~np.uint64(0)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
-    def construct(all_codes, all_lengths, buffers, read_base=0):
+    def construct(all_codes, all_lengths, buffers, read_base=0,
+                  batch_lo=0, batch_hi=n_batches):
         """read_base: global row offset of this chunk's first read (the CLI
-        pipeline feeds the input in chunks; bench stages it whole)."""
+        pipeline feeds the input in chunks; bench stages it whole).
+
+        batch_lo/batch_hi (traced) run only batches [lo, hi) of the staged
+        input — the phased driver splits one staged run into an early phase
+        (whose finalize+emission overlaps the rest) and the remainder,
+        without a second compile."""
         read_base = jnp.asarray(read_base).astype(jnp.int32)
 
         def body(i, carry):
@@ -442,7 +464,7 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
                 n_win + jnp.minimum(nv, S), n_over
 
         bufs, n_win, n_over = jax.lax.fori_loop(
-            0, n_batches, body, (buffers, jnp.int32(0), jnp.int32(0))
+            batch_lo, batch_hi, body, (buffers, jnp.int32(0), jnp.int32(0))
         )
         return bufs, n_win, n_over
 
@@ -482,7 +504,7 @@ class DeviceNodeCounter:
             jnp.zeros((read_cap, M), dtype=jnp.uint64),
             jnp.zeros((read_cap, M), dtype=jnp.int32),
         )
-        self._finalize = self._make_finalize()
+        self._finalize_cache: dict = {}
         self._finalize_chunk = jax.jit(functools.partial(
             _finalize_chunk, node_cap=self.window_cap))
         self._gather = jax.jit(functools.partial(
@@ -499,12 +521,17 @@ class DeviceNodeCounter:
         self._refill = jax.jit(
             lambda b: jnp.full_like(b, ~jnp.uint64(0)), donate_argnums=(0,))
 
-    def _make_finalize(self):
-        return self._jax.jit(functools.partial(
-            _finalize_compact, k=self.k, M=self.M, minab=self.minab,
-            node_cap=self.node_cap, pass_cap=self.pass_cap,
-            emit_mpos=self.emit_overlap_keys,
-        ))
+    def _make_finalize(self, prefix_rows=None):
+        key = (prefix_rows, self.node_cap, self.pass_cap)
+        fn = self._finalize_cache.get(key)
+        if fn is None:
+            fn = self._jax.jit(functools.partial(
+                _finalize_compact, k=self.k, M=self.M, minab=self.minab,
+                node_cap=self.node_cap, pass_cap=self.pass_cap,
+                emit_mpos=self.emit_overlap_keys, prefix_rows=prefix_rows,
+            ))
+            self._finalize_cache[key] = fn
+        return fn
 
     def grow(self, min_read_cap: int):
         """Double the read capacity (at least to min_read_cap), copying the
@@ -537,23 +564,31 @@ class DeviceNodeCounter:
         self.buffers = widen(self.buffers, new_cap)
         self.read_cap = new_cap
         self.window_cap = new_cap * self.W_slot
-        self._finalize = self._make_finalize()
+        self._finalize_cache.clear()
         self._finalize_chunk = self._jax.jit(functools.partial(
             _finalize_chunk, node_cap=self.window_cap))
 
-    def finalize(self, lazy: bool = False):
-        """Run the device reduction; fetch only the passing-node prefix.
+    def finalize_dispatch(self, prefix_rows: int | None = None):
+        """Enqueue the device reduction WITHOUT blocking on its stats —
+        the phased driver dispatches the next construct chunk right after,
+        so the (in-order) device queue runs finalize then construct while
+        the host blocks only inside finalize_resolve.  Must be called while
+        self.buffers still references the buffers the reduction should see
+        (the following construct donates them)."""
+        fin = self._make_finalize(prefix_rows)
+        return fin(*self.buffers)
 
-        Passing nodes are already compacted to the front in first-occurrence
-        order, so node ids are simply 0..n_pass-1.  The prefix is fetched at
-        the next power of two of n_pass (bounded set of slice shapes to keep
-        compile-cache hits).
+    def finalize_resolve(self, out, lazy: bool = False, row_lo: int = 0,
+                         prefix_rows: int | None = None):
+        """Block on a finalize_dispatch result and package it.
 
-        lazy=True returns a core.device_out.LazyNodes instead of fetching
-        everything — the pipelined output path fetches the (large) vec array
-        in chunks, overlapping transfer with .sequences/GFA host work.
+        On node_cap overflow the reduction re-runs on the CURRENT buffers —
+        correct even if later constructs appended in the meantime, because a
+        prefix_rows re-run reads only the (immutable) filled prefix.
+
+        row_lo: first row the caller still needs (rows below were emitted by
+        an earlier phase); the LazyNodes prefetches only [row_lo, n_pass).
         """
-        out = self._finalize(*self.buffers)
         n_pass, n_unique, node_overflow = (
             int(x) for x in np.asarray(out["stats3"]))
         while node_overflow > 0:
@@ -567,8 +602,8 @@ class DeviceNodeCounter:
                                       self.node_cap):
                 self.pass_cap *= 2
             self.pass_cap = min(self.pass_cap, self.node_cap)
-            self._finalize = self._make_finalize()
-            out = self._finalize(*self.buffers)
+            fin = self._make_finalize(prefix_rows)
+            out = fin(*self.buffers)
             n_pass, n_unique, node_overflow = (
                 int(x) for x in np.asarray(out["stats3"]))
         if lazy:
@@ -586,7 +621,7 @@ class DeviceNodeCounter:
                 cap2 = min(cap2, out["vec"].shape[0])
                 gk, gflag = self._overlap_keys(out["vec"][:cap2])
                 out = dict(out, gk=gk, gflag=gflag)
-            return LazyNodes(out, n_pass,
+            return LazyNodes(out, n_pass, row_lo=row_lo,
                              want_vec=not self.emit_overlap_keys)
         cap2 = 1
         while cap2 < max(1, n_pass):
@@ -599,6 +634,26 @@ class DeviceNodeCounter:
                 res[name] = np.asarray(out[name][:cap2])[:n_pass]
         res["index"] = np.arange(n_pass, dtype=np.uint32)
         return res
+
+    def finalize(self, lazy: bool = False, prefix_rows: int | None = None,
+                 row_lo: int = 0):
+        """Run the device reduction; fetch only the passing-node prefix.
+
+        Passing nodes are compacted to the front in deterministic crossing
+        order, so node ids are simply 0..n_pass-1.  The prefix is fetched at
+        the next power of two of n_pass (bounded set of slice shapes to keep
+        compile-cache hits).
+
+        lazy=True returns a core.device_out.LazyNodes instead of fetching
+        everything — the pipelined output path fetches the (large) vec array
+        in chunks, overlapping transfer with .sequences/GFA host work.
+
+        Phased drivers use finalize_dispatch/finalize_resolve directly so the
+        next construct chunk can be enqueued between the two.
+        """
+        return self.finalize_resolve(
+            self.finalize_dispatch(prefix_rows), lazy=lazy, row_lo=row_lo,
+            prefix_rows=prefix_rows)
 
     # --- chunked >HBM counting path (core/chunked.py driver) -------------
 

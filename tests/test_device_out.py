@@ -155,3 +155,76 @@ def test_lz4_accel_roundtrip():
     for accel in (1, 4, 16):
         c = compress(data, accel=accel)
         assert decompress(c) == data
+
+
+def test_phased_matches_single_shot(tmp_path):
+    """Two-phase emission (prefix finalize + tail) must produce byte-identical
+    .sequences records and GFA to the one-shot path: crossing-order ids make
+    each phase an exact row range of the full finalize (ops/sort_count)."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from rust_mdbg_tpu.core.device_out import PhasedEmitter
+    from rust_mdbg_tpu.ops.extract import DeviceExtractor
+    from rust_mdbg_tpu.ops.sort_count import (DeviceNodeCounter,
+                                              make_fused_construct)
+    from rust_mdbg_tpu.utils.seq import CODE_BASE
+
+    p = Params(k=5, l=8, density=0.05, min_kmer_abundance=2, engine="device",
+               batch_reads=8, reads_already_hpc=True)
+    rng = np.random.default_rng(7)
+    G = 60000
+    genome = rng.integers(0, 4, G).astype(np.uint8)
+    L, B, n_reads = 2048, 8, 48
+    n_batches = n_reads // B
+    starts = rng.integers(0, G - L, n_reads)
+    codes = np.stack([genome[s : s + L] for s in starts]).astype(np.uint8)
+    lengths = np.full(n_reads, L, dtype=np.int32)
+    dev = DeviceExtractor(p)
+    M = dev.capacity(L)
+
+    def build(tag, phased):
+        counter = DeviceNodeCounter(k=p.k, M=M, read_cap=n_reads,
+                                    node_cap=1 << 12, minab=2,
+                                    emit_overlap_keys=True)
+        construct = make_fused_construct(p, B, L, M, n_batches)
+        prefix = str(tmp_path / tag)
+        if not phased:
+            bufs, _n, over = construct(jnp.asarray(codes),
+                                       jnp.asarray(lengths), counter.buffers)
+            counter.buffers = bufs
+            assert int(np.asarray(over)) == 0
+            nodes = counter.finalize(lazy=True)
+            g = emit_device_outputs(prefix, p, nodes, CODE_BASE[genome],
+                                    starts.astype(np.int64))
+            return prefix, g
+        n1 = 2  # phase boundary: batches [0, 2) then [2, n_batches)
+        bufs, _n, ov1 = construct(jnp.asarray(codes), jnp.asarray(lengths),
+                                  counter.buffers, 0, 0, n1)
+        counter.buffers = bufs
+        prefix1 = n1 * B * counter.W_slot
+        out1 = counter.finalize_dispatch(prefix_rows=prefix1)
+        bufs, _n, ov2 = construct(jnp.asarray(codes), jnp.asarray(lengths),
+                                  counter.buffers, 0, n1, n_batches)
+        counter.buffers = bufs
+        ph1 = counter.finalize_resolve(out1, lazy=True, prefix_rows=prefix1)
+        em = PhasedEmitter(prefix, p, CODE_BASE[genome],
+                           starts.astype(np.int64))
+        em.emit_phase(ph1)
+        assert int(np.asarray(ov1)) + int(np.asarray(ov2)) == 0
+        nodes = counter.finalize(lazy=True, row_lo=ph1.n_pass)
+        assert nodes.n_pass >= ph1.n_pass > 0
+        em.emit_phase(nodes)
+        g = em.finish(nodes.fetch_full("count"))
+        return prefix, g
+
+    ps, gs = build("single", phased=False)
+    pp, gp = build("phased", phased=True)
+    assert gs == gp
+    assert open(ps + ".gfa").read() == open(pp + ".gfa").read()
+    rs = sorted(iter_sequences(ps), key=lambda r: r["index"])
+    rp = sorted(iter_sequences(pp), key=lambda r: r["index"])
+    assert rs == rp and len(rs) > 20
+    # shard files stay glob-compatible
+    assert glob.glob(pp + ".*.sequences")
