@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Micro-profile the construct loop stages on device."""
 import os, sys, time, functools
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 def main():

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Time the recompute emit path stage by stage at bench scale."""
 import os, sys, time, threading
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 

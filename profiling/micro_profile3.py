@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Micro-profile the PRODUCTION construct-loop stages (count_output path)."""
-import os, sys, time, functools
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+"""Sub-profile the batch-slot compaction stage."""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
@@ -14,16 +14,15 @@ def main():
 
     from rust_mdbg_tpu.params import Params
     from rust_mdbg_tpu.ops.extract import _device_extract, DeviceExtractor
-    from rust_mdbg_tpu.ops.sort_count import (
-        DeviceNodeCounter, make_fused_construct, window_slot_capacity)
+    from rust_mdbg_tpu.ops.sort_count import window_slot_capacity
     from bench import synth_reads
 
     p = Params(k=21, l=14, density=0.003, min_kmer_abundance=2,
                engine="pallas", batch_reads=128, reads_already_hpc=True)
-    genome, starts, L = synth_reads(genome_mbp=20, coverage=52)
+    genome, starts, L = synth_reads(genome_mbp=20, coverage=10)
     B = 128
     n_reads = len(starts) - (len(starts) % B)
-    n_batches = min(n_reads // B, 79)
+    n_batches = min(n_reads // B, 64)
     n_reads = n_batches * B
 
     genome_dev = jax.device_put(genome)
@@ -41,10 +40,12 @@ def main():
     W = M - p.k + 1
     W_slot = window_slot_capacity(p, B, L, M)
     S = B * W_slot
+    print(f"M={M} W={W} W_slot={W_slot} S={S}")
 
     ek = dict(l=p.l, k=p.k, hash_bound=p.hash_bound, M=M,
               already_hpc=True, count_output=True, use_pallas=True,
               syncmer=None)
+    sentinel = ~np.uint64(0)
 
     def loop(fn):
         @jax.jit
@@ -56,22 +57,12 @@ def main():
             return jax.lax.fori_loop(0, n_batches, body, jnp.uint32(0))
         return run
 
-    def extract_count(c, ln):
+    def base(c, ln):
         out = _device_extract(c, ln, **ek)
         return ((out["keys"][..., 0] & jnp.uint64(0xFF)).sum(dtype=jnp.uint32)
-                + out["nw"].sum().astype(jnp.uint32)
-                + (out["mh"] & jnp.uint64(0xFF)).sum(dtype=jnp.uint32))
+                + out["nw"].sum().astype(jnp.uint32))
 
-    def extract_nokeys(c, ln):
-        """Everything except the window-key poly stage: temporarily compute
-        with k=... by summing mh/mp only (keys untouched)."""
-        out = _device_extract(c, ln, **{**ek, "count_output": False,
-                                        "compact_output": False})
-        return ((out["minim_hash"] & jnp.uint64(0xFF)).sum(dtype=jnp.uint32)
-                + out["n_min"].sum().astype(jnp.uint32))
-
-    def extract_slotcompact(c, ln):
-        sentinel = ~np.uint64(0)
+    def rowmap_only(c, ln):
         out = _device_extract(c, ln, **ek)
         nw = out["nw"].astype(jnp.int32)
         offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nw)])
@@ -80,40 +71,47 @@ def main():
         row = jnp.clip(jnp.searchsorted(offs, pos, side="right") - 1, 0, B - 1
                        ).astype(jnp.int32)
         w = pos - offs[row]
+        return (row.sum().astype(jnp.uint32) + w.sum().astype(jnp.uint32)
+                + (out["keys"][..., 0] & jnp.uint64(0xFF)).sum(dtype=jnp.uint32))
+
+    def gather_only(c, ln):
+        out = _device_extract(c, ln, **ek)
+        nw = out["nw"].astype(jnp.int32)
+        offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nw)])
+        nv = offs[B]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+        # fake rowmap: identity src (no searchsorted dependency)
+        src = jnp.clip(pos, 0, B * W - 1)
+        valid = pos < jnp.minimum(nv, S)
+        keys_flat = out["keys"].reshape(B * W, 2)
+        kc = jnp.where(valid[:, None], keys_flat[src], sentinel)
+        return (kc[..., 0] & jnp.uint64(0xFF)).sum(dtype=jnp.uint32)
+
+    def rowmap_bcast(c, ln):
+        out = _device_extract(c, ln, **ek)
+        nw = out["nw"].astype(jnp.int32)
+        offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nw)])
+        nv = offs[B]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+        row = jnp.sum(
+            (pos[:, None] >= offs[None, 1:]).astype(jnp.int32), axis=1)
+        row = jnp.minimum(row, B - 1)
+        w = pos - offs[row]
         valid = pos < jnp.minimum(nv, S)
         src = jnp.clip(row * W + w, 0, B * W - 1)
         keys_flat = out["keys"].reshape(B * W, 2)
         kc = jnp.where(valid[:, None], keys_flat[src], sentinel)
         return (kc[..., 0] & jnp.uint64(0xFF)).sum(dtype=jnp.uint32)
 
-    variants = dict(
-        extract_minimrows=extract_nokeys,
-        extract_count=extract_count,
-        extract_slotcompact=extract_slotcompact,
-    )
+    variants = dict(base=base, rowmap=rowmap_only, gather=gather_only,
+                    rowmap_bcast=rowmap_bcast)
     for name, fn in variants.items():
         run = loop(fn)
         out = run(all_codes, lengths); np.asarray(out)
         t0 = time.perf_counter()
         out = run(all_codes, lengths); np.asarray(out)
         dt = time.perf_counter() - t0
-        print(f"{name}: {dt / n_batches * 1000:.3f} ms/batch  "
-              f"({n_reads * L / dt / 1e9:.2f} Gbp/s)")
-
-    # the real construct (appends included)
-    counter = DeviceNodeCounter(k=p.k, M=M, read_cap=n_reads,
-                                node_cap=1 << 18, minab=2, w_slot=W_slot)
-    construct = make_fused_construct(p, B, L, M, n_batches, w_slot=W_slot)
-    bufs, n_win, n_over = construct(all_codes, lengths, counter.buffers)
-    counter.buffers = bufs
-    np.asarray(n_over)
-    t0 = time.perf_counter()
-    bufs, n_win, n_over = construct(all_codes, lengths, counter.buffers)
-    counter.buffers = bufs
-    np.asarray(n_over)
-    dt = time.perf_counter() - t0
-    print(f"construct_full: {dt / n_batches * 1000:.3f} ms/batch  "
-          f"({n_reads * L / dt / 1e9:.2f} Gbp/s)")
+        print(f"{name}: {dt / n_batches * 1000:.3f} ms/batch")
 
 
 if __name__ == "__main__":

@@ -2,7 +2,7 @@
 """Break down emit_device_outputs: vec transfer wait / .sequences native
 write / GFA add_chunk / GFA finish, at bench scale."""
 import os, sys, time, threading
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Isolate finalize cost: emit_overlap_keys on/off, plus fetch staging."""
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Cost of fingerprint128_jax / le_rev_jax on TPU at finalize shapes."""
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Find the slow op in the finalize key block: gather -> canon -> fp."""
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Native .sequences writer CPU: vecs vs recompute, accel sweep (host only)."""
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")

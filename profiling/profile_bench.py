@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Profiling variant of bench.py: fine-grained timers on each stage."""
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 def main():

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Capture a jax.profiler trace of the real construct loop (few batches)."""
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 def main():
