@@ -256,7 +256,8 @@ class PhasedEmitter:
     """Recompute-path emission, one phase at a time.
 
     Each phase receives the nodes whose abundance CROSSING fell inside the
-    phase's window range (ops/sort_count finalize `cross_lo`); their
+    phase's window range (a row range of the crossing-ordered finalize,
+    ops/sort_count `prefix_rows`/`row_lo`); their
     .sequences records and GFA index rows are final at that point — only the
     abundance keeps growing, so the S-line KC values arrive late via
     `finish(counts)` (deferred-S native builder).  The whole point: phases
@@ -292,8 +293,14 @@ class PhasedEmitter:
         except BaseException as e:  # surfaced at finish
             self.errors.append(e)
 
-    def emit_phase(self, nodes: LazyNodes, n_shards: int = 8):
+    def emit_phase(self, nodes: LazyNodes, n_shards: int = 8,
+                   reads_buf=None, row_off=None):
+        """reads_buf/row_off override the constructor's (streaming callers
+        snapshot only the reads a phase can reference: a phase's crossing
+        metadata never points past its own window range)."""
         p = self.params
+        rb = self.reads_buf if reads_buf is None else reads_buf
+        ro = self.row_off if row_off is None else row_off
         n = nodes.n_new
         if n == 0:
             return
@@ -301,7 +308,7 @@ class PhasedEmitter:
         index = np.arange(self.id_base, self.id_base + n, dtype=np.uint32)
         self.id_base += n
         shift0, shift1, rev, abs_start, abs_end = _node_offsets(
-            p, meta, self.row_off)
+            p, meta, ro)
         seqlen32 = meta[:, 0].astype(np.uint32)
 
         if not self.no_basespace:
@@ -316,7 +323,7 @@ class PhasedEmitter:
                 t = threading.Thread(
                     target=self._write,
                     args=(f"{self.prefix}.{self.shard}.sequences", p.k, p.l,
-                          index[a:b], None, self.reads_buf, abs_start[a:b],
+                          index[a:b], None, rb, abs_start[a:b],
                           abs_end[a:b], rev[a:b], shift0[a:b], shift1[a:b]),
                     kwargs=dict(hash_bound=p.hash_bound, accel=self.accel,
                                 mpos=None if mpos is None else mpos[a:b]),
@@ -339,7 +346,7 @@ class PhasedEmitter:
                                shift1[row0:hi],
                                (Fs, Fp, FsR, FpR, key_suf, key_pre))
         self._phases.append((nodes, index, abs_start, abs_end, rev,
-                             shift0, shift1))
+                             shift0, shift1, rb))
 
     def finish(self, counts: np.ndarray) -> dict:
         """counts: whole-run abundances for ALL emitted nodes, in id order
@@ -364,13 +371,13 @@ class PhasedEmitter:
         from ..io.sequences import write_records_native
 
         shard = 0
-        for nodes, index, abs_start, abs_end, rev, shift0, shift1 \
+        for nodes, index, abs_start, abs_end, rev, shift0, shift1, rb \
                 in self._phases:
             for row0, vec in nodes.vec_chunks():
                 hi = row0 + len(vec)
                 write_records_native(
                     f"{self.prefix}.{shard}.sequences", self.params.k,
-                    self.params.l, index[row0:hi], vec, self.reads_buf,
+                    self.params.l, index[row0:hi], vec, rb,
                     abs_start[row0:hi], abs_end[row0:hi], rev[row0:hi],
                     shift0[row0:hi], shift1[row0:hi])
                 shard += 1

@@ -12,6 +12,7 @@ pass and graph construction, mirroring main.rs:846-914.
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 import numpy as np
@@ -329,7 +330,42 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
         read_base += CHUNK_BATCHES * B
         fill = 0
 
+    # Phased emission (device_out.PhasedEmitter): at a power-of-2 chunk
+    # boundary near ~25% of the estimated input, a prefix finalize
+    # identifies the nodes that already crossed min_abundance (the vast
+    # majority at typical coverage), and a helper thread emits their
+    # .sequences records + GFA index rows while the main thread keeps
+    # streaming/staging the rest.  Power-of-2 boundaries keep the set of
+    # prefix-finalize compile shapes bounded across runs.
+    from .device_out import PhasedEmitter
+
+    est_chunks = max(1, read_cap // (CHUNK_BATCHES * B))
+    trigger_chunks = 4
+    while trigger_chunks * 4 < est_chunks:
+        trigger_chunks *= 2
+    phase: dict = {}
+
+    def start_phase1():
+        pr = read_base * W_slot
+        out1 = counter.finalize_dispatch(prefix_rows=pr)
+        blob1 = np.frombuffer(b"".join(raw_reads), dtype=np.uint8)
+        off1 = np.zeros(len(raw_reads) + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in raw_reads], out=off1[1:])
+        em = PhasedEmitter(prefix, params, blob1, off1[:-1],
+                           no_basespace=params.no_basespace)
+
+        def run():
+            ph1 = counter.finalize_resolve(out1, lazy=True, prefix_rows=pr)
+            em.emit_phase(ph1)
+            phase["ph1"] = ph1
+
+        t = threading.Thread(target=run)
+        t.start()
+        phase["em"] = em
+        phase["thread"] = t
+
     with timer.phase("extract+count(device)"):
+        chunks_flushed = 0
         for batch in fastx.batches(reads_path, B, L):
             n = batch.codes.shape[0]
             if n != B:  # overflow long-read batch: host path not supported here
@@ -343,9 +379,16 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
             fill += n
             if fill == CHUNK_BATCHES * B:
                 flush_chunk()
+                chunks_flushed += 1
+                if (chunks_flushed == trigger_chunks and "em" not in phase
+                        and minimizer_recompute_ok(params)):
+                    start_phase1()
         flush_chunk()
-        nodes = counter.finalize(lazy=True)  # async device reduction starts
-        # overlap the blob concat (host) with the device finalize
+        if "thread" in phase:
+            phase["thread"].join()  # phase-1 emission ran under the stream
+        row_lo = phase["ph1"].n_pass if "ph1" in phase else 0
+        # async device reduction starts; the blob concat overlaps it
+        nodes = counter.finalize(lazy=True, row_lo=row_lo)
         offsets = np.zeros(len(raw_reads) + 1, dtype=np.int64)
         np.cumsum([len(r) for r in raw_reads], out=offsets[1:])
         blob = np.frombuffer(b"".join(raw_reads), dtype=np.uint8)
@@ -360,9 +403,16 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     with timer.phase("sequences+gfa"):
         from .device_out import emit_device_outputs
 
-        g = emit_device_outputs(prefix, params, nodes, blob, offsets[:-1],
-                                no_basespace=params.no_basespace)
-        stats["nb_windows"] = int(nodes.fetch("count").sum())
+        if "em" in phase:
+            em = phase["em"]
+            em.emit_phase(nodes, reads_buf=blob, row_off=offsets[:-1])
+            counts = nodes.fetch_full("count")
+            g = em.finish(counts)
+        else:
+            g = emit_device_outputs(prefix, params, nodes, blob, offsets[:-1],
+                                    no_basespace=params.no_basespace)
+            counts = nodes.fetch_full("count")
+        stats["nb_windows"] = int(counts.sum())
     stats.update(g)
     stats["phases"] = timer.report()
     return stats

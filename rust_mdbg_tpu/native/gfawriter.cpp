@@ -19,6 +19,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -120,63 +121,84 @@ int64_t finish_impl(Builder* b, const char* path, double presimp,
     };
 
     struct Edge { uint32_t a, b; char oa, ob; uint32_t ov; };
-    std::vector<Edge> edges;
-    std::unordered_set<std::pair<uint32_t, uint32_t>, PairHash> removed;
     int64_t presimp_removed = 0;
     int64_t nb_edges = 0;
 
-    struct Pot { uint32_t j; char oa, ob; };
-    std::vector<Pot> pot;
-    for (int64_t i = 0; i < n; i++) {
-        U128 fs1 = get(b->fs, i), fpr1 = get(b->fpr, i);
-        // key group order: normalize(suffix) then normalize(prefix)
-        // (main.rs:1056-1075)
-        U128 keys[2] = {get(b->ksuf, i), get(b->kpre, i)};
-        for (int ki = 0; ki < 2; ki++) {
-            auto it = b->km_index.find(keys[ki]);
-            if (it == b->km_index.end()) continue;
-            pot.clear();
-            for (uint32_t j : it->second) {
-                U128 fp2 = get(b->fp, j), fsr2 = get(b->fsr, j);
-                if (fs1 == fp2) pot.push_back({j, '+', '+'});
-                if (fs1 == fsr2) pot.push_back({j, '+', '-'});
-                if (fpr1 == fp2) pot.push_back({j, '-', '+'});
-                if (fpr1 == fsr2) pot.push_back({j, '-', '-'});
-            }
-            if (pot.empty()) continue;
-            uint32_t ab_max = 0;
-            for (const Pot& p : pot)
-                if (abundance[p.j] > ab_max) ab_max = abundance[p.j];
-            uint32_t ab_ref = ab_max < abundance[i] ? ab_max : abundance[i];
-            for (const Pot& p : pot) {
-                if (presimp > 0.0 && pot.size() >= 2 &&
-                    (double)abundance[p.j] < presimp * (double)ab_ref) {
-                    presimp_removed++;
-                    removed.insert({index[i], index[p.j]});
-                    continue;
+    // Edge enumeration parallelized over contiguous node ranges — km_index
+    // is read-only here, each worker appends to its own vectors, and
+    // range-ordered concatenation reproduces the sequential emission order
+    // exactly (node-ascending, suffix key group before prefix,
+    // main.rs:1056-1075).  presimp drops are LOCAL decisions (group +
+    // own/other abundance), so workers mark them independently; only the
+    // deferred symmetric-drop pass below needs the merged removed set.
+    struct Part {
+        std::vector<Edge> edges;
+        std::vector<std::pair<uint32_t, uint32_t>> removed;
+        int64_t presimp_removed = 0;
+    };
+    int nthreads = (int)std::thread::hardware_concurrency();
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 8) nthreads = 8;
+    if (n < 4096) nthreads = 1;
+    std::vector<Part> parts(nthreads);
+    auto work = [&](int t) {
+        Part& P = parts[t];
+        int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+        struct Pot { uint32_t j; char oa, ob; };
+        std::vector<Pot> pot;
+        for (int64_t i = lo; i < hi; i++) {
+            U128 fs1 = get(b->fs, i), fpr1 = get(b->fpr, i);
+            U128 keys[2] = {get(b->ksuf, i), get(b->kpre, i)};
+            for (int ki = 0; ki < 2; ki++) {
+                auto it = b->km_index.find(keys[ki]);
+                if (it == b->km_index.end()) continue;
+                pot.clear();
+                for (uint32_t j : it->second) {
+                    U128 fp2 = get(b->fp, j), fsr2 = get(b->fsr, j);
+                    if (fs1 == fp2) pot.push_back({j, '+', '+'});
+                    if (fs1 == fsr2) pot.push_back({j, '+', '-'});
+                    if (fpr1 == fp2) pot.push_back({j, '-', '+'});
+                    if (fpr1 == fsr2) pot.push_back({j, '-', '-'});
                 }
-                uint32_t sh = p.oa == '+' ? shift0[i] : shift1[i];
-                uint32_t ov1 = seqlen[i] - sh;  // u32 wrap like the reference
-                uint32_t ov2 = seqlen[p.j] - 1;
-                uint32_t ov = ov1 < ov2 ? ov1 : ov2;
-                if (presimp == 0.0) {
-                    snprintf(line, sizeof line, "L\t%u\t%c\t%u\t%c\t%uM\n",
-                             index[i], p.oa, index[p.j], p.ob, ov);
-                    buf += line;
-                    nb_edges++;
-                    if (buf.size() > (8u << 20)) {
-                        fwrite(buf.data(), 1, buf.size(), f); buf.clear();
+                if (pot.empty()) continue;
+                uint32_t ab_max = 0;
+                for (const Pot& p : pot)
+                    if (abundance[p.j] > ab_max) ab_max = abundance[p.j];
+                uint32_t ab_ref =
+                    ab_max < abundance[i] ? ab_max : abundance[i];
+                for (const Pot& p : pot) {
+                    if (presimp > 0.0 && pot.size() >= 2 &&
+                        (double)abundance[p.j] < presimp * (double)ab_ref) {
+                        P.presimp_removed++;
+                        P.removed.push_back({index[i], index[p.j]});
+                        continue;
                     }
-                } else {
-                    edges.push_back({(uint32_t)index[i], index[p.j], p.oa,
-                                     p.ob, ov});
+                    uint32_t sh = p.oa == '+' ? shift0[i] : shift1[i];
+                    uint32_t ov1 = seqlen[i] - sh;  // u32 wrap like the ref
+                    uint32_t ov2 = seqlen[p.j] - 1;
+                    uint32_t ov = ov1 < ov2 ? ov1 : ov2;
+                    P.edges.push_back({(uint32_t)index[i], index[p.j], p.oa,
+                                       p.ob, ov});
                 }
             }
         }
+    };
+    if (nthreads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nthreads; t++) ts.emplace_back(work, t);
+        for (auto& t : ts) t.join();
     }
-    if (presimp > 0.0) {
-        for (const Edge& e : edges) {
-            if (removed.count({e.a, e.b}) || removed.count({e.b, e.a}))
+    std::unordered_set<std::pair<uint32_t, uint32_t>, PairHash> removed;
+    for (const Part& P : parts) {
+        presimp_removed += P.presimp_removed;
+        for (const auto& r : P.removed) removed.insert(r);
+    }
+    for (const Part& P : parts) {
+        for (const Edge& e : P.edges) {
+            if (presimp > 0.0 &&
+                (removed.count({e.a, e.b}) || removed.count({e.b, e.a})))
                 continue;
             snprintf(line, sizeof line, "L\t%u\t%c\t%u\t%c\t%uM\n",
                      e.a, e.oa, e.b, e.ob, e.ov);
