@@ -142,6 +142,12 @@ class NodeTable:
     def dump(self, min_filter: int = 0):
         """All entries with abundance >= min_filter, sorted by node index.
 
+        Indexes are crossing-occurrence order.  Entries that never crossed
+        min_abundance (reachable only with min_filter below it) carry a
+        provisional 0x80000000|insertion-rank index in the native table;
+        they sort after the crossed entries and are renumbered here to a
+        compact id range following them.
+
         Returns dict of arrays: key_lo, key_hi, index, abundance, seqlen,
         shift0, shift1.
         """
@@ -159,9 +165,16 @@ class NodeTable:
             self._ptr(shift0), self._ptr(shift1),
         )
         order = np.argsort(index[:n], kind="stable")
+        idx = index[:n][order]
+        flagged = idx >= np.uint32(0x80000000)
+        if flagged.any():
+            idx = idx.copy()
+            base = int(np.count_nonzero(~flagged))
+            idx[flagged] = base + np.arange(int(flagged.sum()),
+                                            dtype=np.uint32)
         return dict(
             key_lo=key_lo[:n][order], key_hi=key_hi[:n][order],
-            index=index[:n][order], abundance=abundance[:n][order],
+            index=idx, abundance=abundance[:n][order],
             seqlen=seqlen[:n][order], shift0=shift0[:n][order],
             shift1=shift1[:n][order],
         )

@@ -4,9 +4,14 @@
 // `NODE_INDEX` atomic + optional racy Bloom (/root/reference/src/main.rs:595-709),
 // with the exact `add_kminmer` semantics:
 //   - abundance counting per canonical k-min-mer
-//   - node index assigned in insertion order (deterministic here, since the
-//     device pipeline feeds windows in (read, window) order; the reference's
-//     thread-arrival order was nondeterministic)
+//   - node index assigned in CROSSING-occurrence order (the order the
+//     reference writes .sequences records, main.rs:693-707) — the
+//     deterministic stand-in for its thread-arrival atomic, and the same
+//     order the device sort/segment counter uses (ops/sort_count.py), so
+//     host and device engines emit byte-identical GFA/.sequences.  Entries
+//     that have not yet crossed min_abundance carry a provisional
+//     0x80000000|insertion-rank index (nodetable.py dump renumbers them
+//     after the crossed ones; they only surface via dump(min_filter=0))
 //   - seqlen/shift recorded from the occurrence that crosses min_abundance
 //     (main.rs:680-684), and that occurrence is flagged back to the caller so
 //     the host can emit the .sequences line exactly once (main.rs:693-707)
@@ -27,7 +32,7 @@ namespace {
 struct Entry {
     uint64_t key_lo;
     uint64_t key_hi;
-    uint32_t index;      // insertion order
+    uint32_t index;      // crossing order; 0x80000000|insertion rank until crossed
     uint32_t seqlen;
     uint32_t abundance;  // saturating (reference u16 would wrap in release)
     uint16_t shift0, shift1;
@@ -38,7 +43,8 @@ struct Table {
     std::vector<uint8_t> used;
     uint64_t mask = 0;
     uint64_t count = 0;
-    uint32_t next_index = 0;
+    uint32_t next_index = 0;  // crossing-order id counter
+    uint32_t next_ins = 0;    // provisional insertion-rank counter
     uint32_t min_abund = 2;
     // bloom
     std::vector<uint64_t> bloom;
@@ -109,6 +115,7 @@ void nt_clear(void* p) {
     std::fill(t->used.begin(), t->used.end(), 0);
     t->count = 0;
     t->next_index = 0;
+    t->next_ins = 0;
     if (t->use_bf) std::fill(t->bloom.begin(), t->bloom.end(), 0);
 }
 
@@ -144,6 +151,7 @@ void nt_add_batch(void* p, int64_t n,
                 e.seqlen = seqlen[i];
                 e.shift0 = shift0[i];
                 e.shift1 = shift1[i];
+                e.index = t->next_index++;  // crossing occurrence: assign id
                 out_flags[i] = 1;
             }
             if (e.abundance < 0xFFFFFFFFu) e.abundance++;
@@ -152,15 +160,19 @@ void nt_add_batch(void* p, int64_t n,
             uint32_t prev = (t->use_bf && !t->keep_all && minab > 1) ? 1u : 0u;
             Entry e;
             e.key_lo = lo; e.key_hi = hi;
-            e.index = t->next_index++;
             e.seqlen = seqlen[i];
             e.shift0 = shift0[i]; e.shift1 = shift1[i];
             e.abundance = prev + 1;
+            if (prev == minab - 1) {
+                e.index = t->next_index++;  // crosses at insertion
+                out_flags[i] = 1;
+            } else {
+                e.index = 0x80000000u | t->next_ins++;
+            }
             t->slots[slot] = e;
             t->used[slot] = 1;
             t->count++;
             out_index[i] = e.index;
-            if (prev == minab - 1) out_flags[i] = 1;
             if (t->count * 10 >= (t->mask + 1) * 7) t->grow();
         }
     }
@@ -169,9 +181,10 @@ void nt_add_batch(void* p, int64_t n,
 // Chunked hierarchical merge (core/chunked.py): one call per input chunk.
 // Inputs are the chunk's unique keys in first-occurrence order with their
 // in-chunk occurrence counts.  Updates global abundances, assigns node ids
-// at table insertion (deterministic, chunk-size independent: insertion
-// happens at a key's first global sighting — second sighting under the
-// Bloom pre-filter — regardless of chunk boundaries), and reports for each
+// at the min_abund CROSSING (deterministic and chunk-emission-ordered:
+// within a chunk ids follow the chunk's unique-key order, across chunks the
+// crossing chunk's position — a chunk-granular version of the whole-run
+// drivers' crossing-occurrence order), and reports for each
 // key whether the min_abund crossing occurrence (main.rs:680-707) falls in
 // this chunk: out_sel[i] = 0 (no), 1 (use the chunk's 1st occurrence),
 // 2 (the chunk's 2nd).  Exact for min_abund <= 2, which the Python driver
@@ -195,7 +208,10 @@ void nt_merge_chunk(void* p, int64_t n,
         if (found) {
             Entry& e = t->slots[slot];
             uint64_t a = e.abundance;
-            if (a < minab && a + c >= minab) out_sel[i] = (uint8_t)(minab - a);
+            if (a < minab && a + c >= minab) {
+                out_sel[i] = (uint8_t)(minab - a);
+                e.index = t->next_index++;  // crosses in this chunk
+            }
             uint64_t na = a + c;
             e.abundance = na > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)na;
             out_index[i] = e.index;
@@ -221,10 +237,11 @@ void nt_merge_chunk(void* p, int64_t n,
         }
         Entry e;
         e.key_lo = lo; e.key_hi = hi;
-        e.index = t->next_index++;
         e.seqlen = 0; e.shift0 = 0; e.shift1 = 0;  // set via nt_set_meta_batch
         uint64_t na = prev + c;
         e.abundance = na > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)na;
+        bool crossed = plain || (prev < minab && prev + c >= minab);
+        e.index = crossed ? t->next_index++ : (0x80000000u | t->next_ins++);
         t->slots[slot] = e;
         t->used[slot] = 1;
         t->count++;

@@ -17,9 +17,9 @@ def add_one(t, lo, hi, seqlen=100, s0=5, s1=7):
 def test_minabund2_crossing_on_second_sighting():
     t = NodeTable(min_abundance=2)
     f, i = add_one(t, 1, 2, seqlen=50)
-    assert f == 0 and i == 0
+    assert f == 0 and i == 0x80000000  # provisional: not yet crossed
     f, i = add_one(t, 1, 2, seqlen=60, s0=9, s1=11)
-    assert f == 1 and i == 0  # crossing occurrence flagged
+    assert f == 1 and i == 0  # crossing occurrence flagged, id assigned
     f, i = add_one(t, 1, 2, seqlen=70)
     assert f == 0
     d = t.dump()
@@ -38,11 +38,28 @@ def test_minabund1_crossing_on_first():
 
 
 def test_index_insertion_order():
+    # never-crossed entries: dump renumbers provisional ids to a compact
+    # range in insertion order
     t = NodeTable(min_abundance=2)
     for j in range(10):
         add_one(t, j + 100, j)
     d = t.dump()
     assert list(d["index"]) == list(range(10))
+
+
+def test_index_crossing_order():
+    # ids follow the min_abundance CROSSING order (the order the reference
+    # writes .sequences records, main.rs:693-707), not first-occurrence
+    t = NodeTable(min_abundance=2)
+    add_one(t, 100, 0)           # A first occurrence
+    add_one(t, 200, 0)           # B first occurrence
+    f, i = add_one(t, 200, 0)    # B crosses first
+    assert f == 1 and i == 0
+    f, i = add_one(t, 100, 0)    # A crosses second
+    assert f == 1 and i == 1
+    d = t.dump()
+    assert list(d["index"]) == [0, 1]
+    assert list(d["key_lo"]) == [200, 100]
 
 
 def test_bloom_screens_singletons():
