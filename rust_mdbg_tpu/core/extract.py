@@ -77,7 +77,12 @@ def extract_minimizers_host(codes: np.ndarray, params, minimizer_to_int=None,
 
 
 def extract_windows_host(batch, params, minimizer_to_int=None,
-                         uhs_filter=None, lcp_filter=None) -> WindowBatch:
+                         uhs_filter=None, lcp_filter=None,
+                         minimizer_fn=None) -> WindowBatch:
+    """minimizer_fn: optional per-read (codes) -> (pos, hashes) override of
+    extract_minimizers_host — the device-tiled long-sequence path
+    (ops/extract.extract_minimizers_tiled) plugs in here so Mbp-scale
+    sequences hash on device while the (cheap) windowing stays host-side."""
     k, l = params.k, params.l
     key_lo, key_hi = [], []
     seqlen, s0, s1, rev, rows, starts, ends = [], [], [], [], [], [], []
@@ -90,9 +95,12 @@ def extract_windows_host(batch, params, minimizer_to_int=None,
             minims.append(None)
             continue
         codes = batch.codes[row, :n]
-        pos, hashes = extract_minimizers_host(
-            codes, params, minimizer_to_int, uhs_filter, lcp_filter
-        )
+        if minimizer_fn is not None:
+            pos, hashes = minimizer_fn(codes)
+        else:
+            pos, hashes = extract_minimizers_host(
+                codes, params, minimizer_to_int, uhs_filter, lcp_filter
+            )
         minims.append((pos, hashes))
         if hashes.shape[0] <= k:  # strict: main.rs:756
             continue

@@ -477,6 +477,46 @@ class DeviceExtractor:
             )
         return self._fns[key]
 
+    def _tiled_fn(self, B, L):
+        """Jitted full-path extraction at the fixed tile shape (long-sequence
+        tiling, extract_minimizers_tiled); always already_hpc — the tiler
+        HPC-compresses on the host to keep the raw-position map exact."""
+        # per-read minimizer caps don't apply to a tile of a longer sequence
+        M = self.capacity(L, ignore_override=True)
+        key = (B, L, M, "tiled")
+        if key not in self._fns:
+            p = self.params
+            self._fns[key] = self._jax.jit(
+                functools.partial(
+                    _device_extract, l=p.l, k=p.k, hash_bound=p.hash_bound,
+                    M=M, already_hpc=True, use_pallas=self.use_pallas,
+                )
+            )
+        return self._fns[key]
+
+    def _tiled_ok(self) -> bool:
+        p = self.params
+        return (not p.use_syncmers and self.filter_mode is None
+                and self._lmer is None and self._m2i is None)
+
+    def _extract_long(self, batch):
+        """Long-row batches ([1, L] overflow staging from io.fastx.batches):
+        device-tiled minimizer selection + host windowing.  Falls back to the
+        host oracle per row on tile capacity overflow."""
+        from ..core.extract import extract_windows_host
+
+        p = self.params
+
+        def mfn(codes):
+            try:
+                return extract_minimizers_tiled(codes, p, self)
+            except RuntimeError:
+                from ..core.extract import extract_minimizers_host
+
+                return extract_minimizers_host(codes, p, self._m2i)
+
+        return extract_windows_host(batch, p, minimizer_fn=mfn)
+
     def _extra_args(self) -> tuple:
         extra = ()
         if self._lmer is not None:
@@ -516,6 +556,8 @@ class DeviceExtractor:
             # filter state exactly once per batch)
             return _compact_from_windowbatch(self(batch))
         B, L = batch.codes.shape
+        if L >= LONG_SEQ_MIN and self._tiled_ok():
+            return _compact_from_windowbatch(self._extract_long(batch))
         M = self.capacity(L)
         out = self._fn(B, L, M, compact=True)(batch.codes, batch.lengths,
                                               *self._extra_args())
@@ -546,9 +588,9 @@ class DeviceExtractor:
         cw._win_index = (rows * W + wins).astype(np.int32)
         return cw
 
-    def capacity(self, L: int) -> int:
+    def capacity(self, L: int, ignore_override: bool = False) -> int:
         p = self.params
-        if p.max_minimizers_per_read > 0:
+        if p.max_minimizers_per_read > 0 and not ignore_override:
             return p.max_minimizers_per_read
         # canonical hash = min(fh, rh): selection rate ~ 2*density (read.rs:183
         # bound applied to the min of two ~uniform hashes).  Headroom: +8
@@ -571,6 +613,8 @@ class DeviceExtractor:
 
         p = self.params
         B, L = batch.codes.shape
+        if L >= LONG_SEQ_MIN and self.filter_mode is None and self._tiled_ok():
+            return self._extract_long(batch)
         if self.filter_mode is not None:
             out = self._call_filtered(batch)
         else:
@@ -637,6 +681,78 @@ class DeviceExtractor:
             self._seen = new_seen
             self.seen_n = int(np.asarray(new_n))
             return out
+
+
+LONG_SEQ_MIN = 1 << 20   # rows at/above this length take the tiled path
+TILE_DEFAULT = 1 << 20   # hpc bases per tile row
+
+
+def extract_minimizers_tiled(codes: np.ndarray, params, extractor,
+                             tile: int = TILE_DEFAULT):
+    """Minimizer selection for one Mbp-scale sequence via fixed-shape device
+    tiles (density scheme: --reference genomes, multik contig feedback).
+
+    Density selection is per-l-mer local (read.rs:176-211 applies the hash
+    bound to each l-mer independently), so tiling the HPC-compressed sequence
+    into rows of `tile` bases with an (l-1)-base halo stitches exactly: tile
+    row i covers hpc[i*tile : i*tile + tile + l - 1] and keeps minimizers
+    starting in [0, tile).  Compile shapes are bounded — one (8, tile+512)
+    kernel regardless of sequence length — where the padded [1, L] staging
+    would force a fresh XLA compile (and a huge live tensor) per length
+    bucket.  Windowing over the ~2·density·L surviving minimizers stays on
+    the host (core/extract.window_kminmers flow).
+
+    Returns (pos int64[N] raw coords, hashes uint64[N]) — identical to the
+    host oracle ops.minimizers.extract_density_np.
+    """
+    import jax.numpy as jnp
+
+    from .hpc import encode_rle_np
+
+    l = params.l
+    if l - 1 > 512:
+        raise RuntimeError("tiled extraction requires l <= 513")
+    if params.reads_already_hpc:
+        hpc = np.ascontiguousarray(codes)
+        posmap = None
+    else:
+        hpc, posmap = encode_rle_np(codes)
+    n = int(hpc.shape[0])
+    if n < l:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    halo = 512  # lane-aligned >= l-1
+    TB = 8
+    Lt = tile + halo
+    fn = extractor._tiled_fn(TB, Lt)
+    n_tiles = (n + tile - 1) // tile
+    pos_chunks: list[np.ndarray] = []
+    hash_chunks: list[np.ndarray] = []
+    buf = np.full((TB, Lt), 5, dtype=np.uint8)
+    for t0 in range(0, n_tiles, TB):
+        rows = min(TB, n_tiles - t0)
+        buf[:] = 5
+        lens = np.zeros(TB, dtype=np.int32)
+        for r in range(rows):
+            a = (t0 + r) * tile
+            b = min(n, a + tile + (l - 1))
+            buf[r, : b - a] = hpc[a:b]
+            lens[r] = b - a
+        out = fn(jnp.asarray(buf), jnp.asarray(lens))
+        nm = np.asarray(out["n_min"])
+        if np.asarray(out["overflow"])[:rows].any():
+            raise RuntimeError("tiled extraction minimizer-capacity overflow")
+        mh = np.asarray(out["minim_hash"])
+        mp = np.asarray(out["minim_pos"])
+        for r in range(rows):
+            p = mp[r, : nm[r]]
+            keep = p < tile  # halo starts belong to the next tile
+            pos_chunks.append(p[keep].astype(np.int64) + (t0 + r) * tile)
+            hash_chunks.append(mh[r, : nm[r]][keep])
+    pos = np.concatenate(pos_chunks)
+    hashes = np.concatenate(hash_chunks)
+    if posmap is not None:
+        pos = posmap[pos]
+    return pos, hashes
 
 
 class _HostCompact(CompactWindows):
