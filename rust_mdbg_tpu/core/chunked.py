@@ -7,11 +7,14 @@ at the reference's headline scale (114 Gbp of HG002 input, README.md:128).
 This driver streams the input in fixed-size chunks:
 
   per chunk (all on device):   fused extract -> per-chunk sort/segment-reduce
-                               -> compact (unique key, count, occ1, occ2)
+                               -> compact (unique key, count) + a device-side
+                               [unique, minab] matrix of each key's first
+                               minab in-chunk occurrences
   host merge (C++):            nt_merge_chunk accumulates global abundances,
                                assigns deterministic node ids, and reports
                                which keys' min-abundance crossing
-                               (main.rs:680-707) landed in this chunk
+                               (main.rs:680-707) landed in this chunk and on
+                               WHICH in-chunk appearance (sel = minab - prior)
   device gather:               vec + metadata for exactly the crossing
                                occurrences (one row per NODE over the whole
                                run crosses the link — never per window)
@@ -19,11 +22,13 @@ This driver streams the input in fixed-size chunks:
                                chunk's raw bytes are still resident; they are
                                dropped before the next chunk loads
 
-Exactness: for min_abundance <= 2 (the reference's default and all published
-runs) the crossing occurrence is always the chunk's 1st or 2nd appearance of
-the key, both of which the chunk emission carries.  --bf Bloom semantics are
-preserved by the merge (first global sighting only marks the filter,
-main.rs:639-655), which keeps error singletons out of host memory.
+Exactness: the crossing occurrence of a key is its (minab - prior_count)-th
+appearance within the crossing chunk, which never exceeds minab — so carrying
+minab occurrence slots per unique key makes the capture exact for ANY
+--minabund (<= MAX_CHUNK_SLOTS; the host streaming engine covers the rest).
+--bf Bloom semantics are preserved by the merge (first global sighting only
+marks the filter, main.rs:639-655), which keeps error singletons out of host
+memory.
 
 Memory model: HBM = one chunk's buffers (~7 KB/read at HiFi lengths); host =
 node table + one chunk of raw reads + per-node vectors.
@@ -41,10 +46,20 @@ from .graph import build_gfa
 from .nodetable import NodeTable
 
 
+#: occurrence-slot ceiling: each slot costs 4 B x window_cap of transient
+#: HBM during the per-chunk finalize (~30 MB/slot at default chunk sizing),
+#: so slots = minab is sized exactly and capped here.  No published reference
+#: run uses --minabund beyond single digits (README.md:133-135 uses --bf
+#: with minabund 2; robust-minimizer runs 3-5).
+MAX_CHUNK_SLOTS = 16
+
+
 def chunked_eligible(params: Params) -> bool:
-    """The chunk emission carries two occurrence slots -> crossing capture is
-    exact only for min_abundance <= 2 (or keep-all / reference mode)."""
-    return params.min_kmer_abundance <= 2 or params.reference
+    """The chunk emission carries min_abundance occurrence slots, making
+    crossing capture exact for ANY min_abundance <= MAX_CHUNK_SLOTS (the
+    selector sel = minab - prior_count never exceeds minab).  Beyond the
+    slot ceiling the pipeline uses the host streaming engine instead."""
+    return params.min_kmer_abundance <= MAX_CHUNK_SLOTS or params.reference
 
 
 def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
@@ -61,7 +76,9 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     stats = stats if stats is not None else {}
     if not chunked_eligible(params):
         raise RuntimeError(
-            "chunked counting is exact only for --minabund <= 2")
+            "chunked counting carries at most "
+            f"{MAX_CHUNK_SLOTS} occurrence slots; use --engine host for "
+            f"--minabund > {MAX_CHUNK_SLOTS}")
 
     mean_len, mx = fastx.read_first_n_reads(reads_path, 100)
     L = params.max_read_len or max(1024, ((2 * mx + 511) // 512) * 512)
@@ -89,6 +106,8 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     counter = DeviceNodeCounter(
         k=params.k, M=M, read_cap=chunk_reads, node_cap=1 << 22,
         minab=params.min_kmer_abundance, w_slot=W_slot,
+        chunk_slots=(1 if params.reference
+                     else min(params.min_kmer_abundance, MAX_CHUNK_SLOTS)),
     )
     packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack); L is 512-aligned
     # L carries 2x headroom over the sampled max read length (reads longer
@@ -156,8 +175,7 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
             nb_windows += int(res["count"].sum())
         cross = np.nonzero(sel)[0]
         if cross.size:
-            occs = np.where(sel[cross] == 1, res["occ1"][cross],
-                            res["occ2"][cross]).astype(np.uint32)
+            occs = counter.occ_at_chunk(cross, sel[cross])
             with timer.phase("gather"):
                 if rec_ok:
                     vec = None

@@ -102,9 +102,10 @@ class NodeTable:
     def merge_chunk(self, key_lo, key_hi, count):
         """Merge one chunk's (unique key, in-chunk count) pairs — must be in
         first-occurrence order.  Returns (sel uint8[N], node_index uint32[N]):
-        sel=1/2 means the min_abundance crossing fell on this chunk's 1st/2nd
-        occurrence of the key (write its .sequences record now); exact for
-        min_abundance <= 2 (enforced by the chunked driver)."""
+        sel=j > 0 means the min_abundance crossing fell on this chunk's j-th
+        occurrence of the key (write its .sequences record now).  sel never
+        exceeds min_abundance, so a chunk emission carrying min_abundance
+        occurrence slots makes the capture exact for any --minabund."""
         n = len(key_lo)
         key_lo = np.ascontiguousarray(key_lo, dtype=np.uint64)
         key_hi = np.ascontiguousarray(key_hi, dtype=np.uint64)

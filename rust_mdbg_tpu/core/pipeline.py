@@ -278,7 +278,7 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
 
     W_slot = window_slot_capacity(params, B, L, M)
     # beyond the whole-run HBM budget, switch to bounded-memory chunked
-    # counting (exact for minabund <= 2; core/chunked.py)
+    # counting (exact for any minabund <= MAX_CHUNK_SLOTS; core/chunked.py)
     per_read = 20 * W_slot + 12 * M
     if read_cap * per_read > 4e9:
         from .chunked import assemble_device_chunked, chunked_eligible
@@ -287,8 +287,8 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
             return assemble_device_chunked(reads_path, params, prefix, timer,
                                            stats)
         raise RuntimeError(
-            "input exceeds whole-run HBM capacity and --minabund > 2 "
-            "(chunked counting is exact only for minabund <= 2)")
+            "input exceeds whole-run HBM capacity; chunked counting caps "
+            "occurrence slots — use --engine host for this --minabund")
     from .device_out import minimizer_recompute_ok
 
     counter = DeviceNodeCounter(

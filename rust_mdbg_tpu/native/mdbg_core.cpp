@@ -186,9 +186,10 @@ void nt_add_batch(void* p, int64_t n,
 // crossing chunk's position — a chunk-granular version of the whole-run
 // drivers' crossing-occurrence order), and reports for each
 // key whether the min_abund crossing occurrence (main.rs:680-707) falls in
-// this chunk: out_sel[i] = 0 (no), 1 (use the chunk's 1st occurrence),
-// 2 (the chunk's 2nd).  Exact for min_abund <= 2, which the Python driver
-// enforces (the device chunk emission carries two occurrence slots).
+// this chunk: out_sel[i] = 0 (no) or j > 0 (use the chunk's j-th occurrence).
+// j = min_abund - prior_global_count (+1 when the Bloom consumed the chunk's
+// 1st appearance), so j <= min_abund always — the device emission carries
+// min_abund occurrence slots, making the capture exact for ANY --minabund.
 // out_index[i] = node id, or 0xFFFFFFFF for a Bloom-swallowed singleton.
 void nt_merge_chunk(void* p, int64_t n,
                     const uint64_t* key_lo, const uint64_t* key_hi,

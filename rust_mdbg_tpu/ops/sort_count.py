@@ -248,17 +248,20 @@ def _overlap_keys_device(canon_vec):
     return gk, gflag
 
 
-def _finalize_chunk(b_keys, b_occ, *, node_cap):
+def _finalize_chunk(b_keys, b_occ, *, node_cap, slots=2):
     """Per-chunk reduction for the >HBM chunked-counting path: compact the
     chunk's UNIQUE keys (with per-chunk counts and the window occurrences of
-    their first TWO in-chunk appearances) in first-occurrence order.
+    their first `slots` in-chunk appearances) in first-occurrence order.
 
-    The host merges (key, count, occ1, occ2) into the native C++ table
-    (nt_merge_chunk) which tracks global abundance across chunks and decides,
-    exactly for min_abundance <= 2, whether the abundance-crossing occurrence
-    (main.rs:680-707) falls in this chunk — and if so whether it is the
-    chunk's 1st or 2nd appearance.  Vector + metadata are then gathered on
-    device (gather_window_meta) for exactly the crossing occurrences, so the
+    The host merges (key, count) into the native C++ table (nt_merge_chunk)
+    which tracks global abundance across chunks and decides whether the
+    abundance-crossing occurrence (main.rs:680-707) falls in this chunk — and
+    if so WHICH in-chunk appearance it is (sel = min_abundance - prior global
+    count, always <= min_abundance).  With slots >= min_abundance the capture
+    is therefore exact for ANY --minabund (the chunked driver sizes slots =
+    minab; the occs matrix never leaves the device — crossing rows are
+    gathered by occ_at_chunk).  Vector + metadata are then gathered on device
+    (gather_window_meta) for exactly the crossing occurrences, so the
     device->host traffic for the big arrays is one vec/meta row per NODE over
     the whole run, never per window or per unique singleton.
     """
@@ -287,8 +290,12 @@ def _finalize_chunk(b_keys, b_occ, *, node_cap):
     next_head = hkey_s[1 : node_cap + 1]
     counts = (next_head - head_pos).astype(jnp.uint32)
     occ1 = h_occ[:node_cap]
-    # 2nd in-chunk appearance (valid only when count >= 2; the merge checks)
-    occ2 = socc[jnp.minimum(head_pos + 1, N - 1)]
+    # j-th in-chunk appearance, j = 1..slots (valid only when count >= j;
+    # the merge's selector never exceeds the count it crosses within)
+    occ_idx = jnp.minimum(
+        head_pos[:, None] + jnp.arange(slots, dtype=jnp.int32)[None, :],
+        N - 1)
+    occs = socc[occ_idx]                                # [node_cap, slots]
 
     # order every unique by first occurrence so host id assignment is
     # deterministic and chunk-size independent
@@ -298,7 +305,7 @@ def _finalize_chunk(b_keys, b_occ, *, node_cap):
     _, order = jax.lax.sort((ordkey, cap_iota), num_keys=1)
     return dict(
         key_lo=h_lo[:node_cap][order], key_hi=h_hi[:node_cap][order],
-        count=counts[order], occ1=occ1[order], occ2=occ2[order],
+        count=counts[order], occs=occs[order],
         stats2=jnp.stack([n_unique,
                           jnp.maximum(0, n_unique - node_cap)]),
     )
@@ -482,12 +489,14 @@ class DeviceNodeCounter:
 
     def __init__(self, k: int, M: int, read_cap: int, node_cap: int,
                  minab: int, pass_cap: int | None = None,
-                 w_slot: int | None = None, emit_overlap_keys: bool = False):
+                 w_slot: int | None = None, emit_overlap_keys: bool = False,
+                 chunk_slots: int = 2):
         import jax
         import jax.numpy as jnp
 
         self.k = k
         self.M = M
+        self.chunk_slots = max(1, chunk_slots)
         self.W = M - k + 1          # original windows/read (occ coordinates)
         self.W_slot = w_slot if w_slot is not None else self.W
         self.read_cap = read_cap
@@ -506,7 +515,10 @@ class DeviceNodeCounter:
         )
         self._finalize_cache: dict = {}
         self._finalize_chunk = jax.jit(functools.partial(
-            _finalize_chunk, node_cap=self.window_cap))
+            _finalize_chunk, node_cap=self.window_cap,
+            slots=self.chunk_slots))
+        self._chunk_occs = None  # device [node_cap, slots] of the last chunk
+        self._occ_at = jax.jit(lambda occs, rows, sel: occs[rows, sel])
         self._gather = jax.jit(functools.partial(
             _gather_window_meta, k=k, M=M))
         self._overlap_keys = jax.jit(_overlap_keys_device)
@@ -566,7 +578,8 @@ class DeviceNodeCounter:
         self.window_cap = new_cap * self.W_slot
         self._finalize_cache.clear()
         self._finalize_chunk = self._jax.jit(functools.partial(
-            _finalize_chunk, node_cap=self.window_cap))
+            _finalize_chunk, node_cap=self.window_cap,
+            slots=self.chunk_slots))
 
     def finalize_dispatch(self, prefix_rows: int | None = None):
         """Enqueue the device reduction WITHOUT blocking on its stats —
@@ -659,8 +672,9 @@ class DeviceNodeCounter:
 
     def finalize_chunk(self) -> dict:
         """Reduce the CURRENT chunk only: unique keys with per-chunk counts
-        and first/second occurrence ids, in first-occurrence order.  Fetches
-        the n_unique prefix (power-of-2 slice shapes)."""
+        in first-occurrence order.  Fetches the n_unique prefix (power-of-2
+        slice shapes); the [node_cap, chunk_slots] occurrence matrix stays on
+        device — occ_at_chunk gathers crossing rows after the host merge."""
         out = self._finalize_chunk(self.buffers[0], self.buffers[1])
         n_unique, overflow = (int(x) for x in np.asarray(out["stats2"]))
         if overflow > 0:
@@ -671,10 +685,29 @@ class DeviceNodeCounter:
         cap2 = min(cap2, out["key_lo"].shape[0])
         res = {
             name: np.asarray(out[name][:cap2])[:n_unique]
-            for name in ("key_lo", "key_hi", "count", "occ1", "occ2")
+            for name in ("key_lo", "key_hi", "count")
         }
         res["n_unique"] = n_unique
+        self._chunk_occs = out["occs"]
         return res
+
+    def occ_at_chunk(self, rows: np.ndarray, sel: np.ndarray) -> np.ndarray:
+        """Window occurrences of the sel-th (1-based) in-chunk appearance of
+        the given unique-key rows of the LAST finalize_chunk — the abundance
+        crossings the host merge identified.  sel <= min_abundance <=
+        chunk_slots by construction (core/chunked sizes the slots)."""
+        import jax.numpy as jnp
+
+        n = len(rows)
+        cap2 = 8
+        while cap2 < n:
+            cap2 <<= 1
+        r = np.zeros(cap2, dtype=np.int32)
+        r[:n] = rows
+        s = np.zeros(cap2, dtype=np.int32)
+        s[:n] = np.asarray(sel, dtype=np.int32) - 1
+        out = self._occ_at(self._chunk_occs, jnp.asarray(r), jnp.asarray(s))
+        return np.asarray(out)[:n].astype(np.uint32)
 
     def gather_crossing(self, occs: np.ndarray):
         """Device-gather (canonical vec, meta) for chunk-local window
@@ -717,5 +750,8 @@ class DeviceNodeCounter:
     def reset_chunk(self):
         """Sentinel-refill the key buffer for the next chunk (stale occ/mh/mp
         rows are unreachable: gathers only follow valid keys)."""
+        if self._chunk_occs is not None:
+            self._chunk_occs.delete()
+            self._chunk_occs = None
         b_keys, b_occ, b_mh, b_mp = self.buffers
         self.buffers = (self._refill(b_keys), b_occ, b_mh, b_mp)

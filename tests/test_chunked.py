@@ -99,8 +99,30 @@ def test_chunked_recompute_mode_matches_host(tmp_path):
     assert _node_content(pa) == _node_content(pb)
 
 
+@pytest.mark.parametrize("minab,use_bf", [(3, False), (3, True), (5, False)])
+def test_chunked_high_minabund_matches_host(tmp_path, minab, use_bf):
+    """minabund >= 3: the chunk emission carries minab occurrence slots, so
+    the crossing capture (and therefore .sequences payloads, seqlen/shift,
+    and the GFA) stays exact — the round-2 gap (chunked was minabund <= 2
+    only).  Small chunks force crossings to straddle chunk boundaries."""
+    ph = Params(k=7, l=10, density=0.0008, min_kmer_abundance=minab,
+                engine="host", use_bf=use_bf,
+                bloom_log2_bits=24 if use_bf else 32)
+    pc = ph.replace(engine="device")
+    pa = str(tmp_path / "host")
+    pb = str(tmp_path / "chunk")
+    assemble(EXAMPLE, ph, pa)
+    s = assemble_device_chunked(EXAMPLE, pc, pb, chunk_reads=128)
+    assert s["nb_chunks"] >= 5
+    assert s["nb_nodes"] > 0
+    assert _gfa_node_set(pa) == _gfa_node_set(pb)
+    assert _node_content(pa) == _node_content(pb)
+
+
 def test_chunked_minabund_gate():
-    p = Params(k=7, l=10, density=0.0008, min_kmer_abundance=3,
-               engine="device")
-    with pytest.raises(RuntimeError, match="minabund"):
+    from rust_mdbg_tpu.core.chunked import MAX_CHUNK_SLOTS
+
+    p = Params(k=7, l=10, density=0.0008,
+               min_kmer_abundance=MAX_CHUNK_SLOTS + 1, engine="device")
+    with pytest.raises(RuntimeError, match="occurrence slots"):
         assemble_device_chunked(EXAMPLE, p, "/tmp/never", chunk_reads=128)

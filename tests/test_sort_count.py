@@ -170,8 +170,13 @@ def test_batch_slot_compaction_matches_padded():
     # chunk-mode reduction agrees too (occ coordinates identical)
     fch = full_c.finalize_chunk()
     sch = slot_c.finalize_chunk()
-    for name in ("key_lo", "key_hi", "count", "occ1", "occ2"):
+    for name in ("key_lo", "key_hi", "count"):
         assert np.array_equal(fch[name], sch[name]), name
+    rows = np.arange(fch["n_unique"])
+    for s in (1, 2):
+        selv = np.minimum(fch["count"], s)  # slot s valid only if count >= s
+        assert np.array_equal(full_c.occ_at_chunk(rows, selv),
+                              slot_c.occ_at_chunk(rows, selv)), f"occ{s}"
 
     # a slot too small for the windows of one batch is counted as overflow
     _, _, n_over = run(8)
