@@ -130,6 +130,26 @@ def params_from_args(args) -> tuple[Params, str]:
     return params, prefix
 
 
+def _setup_compile_cache():
+    """Persistent XLA compilation cache for the device engines: compiles are
+    keyed on shapes (which params.staging_width quantizes to coarse buckets),
+    so the second run of a dataset — or of any dataset in the same length
+    bucket — skips the 20-200 s cold compile entirely.  MDBG_CACHE_DIR
+    overrides the location; host-engine runs never import jax."""
+    import os
+
+    try:
+        import jax
+
+        cache = os.environ.get("MDBG_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "rust_mdbg_tpu", "jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never block the run on it
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     # subcommand dispatch
@@ -155,6 +175,8 @@ def main(argv=None):
             print(f"error: {label} file not found: {path}", file=sys.stderr)
             return 2
     params, prefix = params_from_args(args)
+    if params.engine != "host":
+        _setup_compile_cache()
     import time
 
     t0 = time.time()

@@ -40,7 +40,7 @@ import numpy as np
 
 from ..io import fastx
 from ..io.sequences import remove_stale, write_records_native
-from ..params import Params
+from ..params import Params, staging_width
 from ..utils.timing import PhaseTimer
 from .graph import build_gfa
 from .nodetable import NodeTable
@@ -81,7 +81,7 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
             f"--minabund > {MAX_CHUNK_SLOTS}")
 
     mean_len, mx = fastx.read_first_n_reads(reads_path, 100)
-    L = params.max_read_len or max(1024, ((2 * mx + 511) // 512) * 512)
+    L = params.max_read_len or staging_width(mx)
     B = params.batch_reads
     dev = DeviceExtractor(params)
     M = dev.capacity(L)
@@ -96,6 +96,20 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
         # 10.4 Gbp; SCALE_DEMO.json)
         per_read = 20 * window_slot_capacity(params, B, L, M) + 12 * M
         chunk_reads = max(B, int(1.5e8 / per_read) // B * B)
+        # never size the chunk past the input itself (+10% headroom,
+        # power-of-2 rounded for compile-shape reuse): a small input would
+        # otherwise stage -- and ship over the H2D link -- a full
+        # HBM-budget chunk of padding
+        import os as _os
+
+        fsize = _os.path.getsize(reads_path)
+        if str(reads_path).endswith((".gz", ".lz4")):
+            fsize *= 6
+        est = max(B, int(1.1 * fsize / max(1, mean_len)))
+        cap2 = B
+        while cap2 < est:
+            cap2 *= 2
+        chunk_reads = min(chunk_reads, cap2)
     else:
         # small forced chunks (tests): shrink the batch to fit the chunk
         B = min(B, chunk_reads)
@@ -121,6 +135,28 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     if L_half:
         _constructs[L_half] = make_fused_construct(
             params, B, L_half, M, n_batches, packed=packed, w_slot=W_slot)
+
+    # surface XLA compile cost as its own phase (the persistent compilation
+    # cache set by the CLI makes later runs hit disk instead): drive the
+    # full-width construct once with device-resident zeros and an empty
+    # batch range (fori_loop(0, 0) — full graph compiles, no batch
+    # executes), plus one finalize of the sentinel buffers.  The half-width
+    # variant compiles lazily on its first real chunk — many runs never
+    # take it.
+    with timer.phase("compile"):
+        import jax.numpy as jnp
+
+        fn = _constructs[L]
+        if packed:
+            z = (jnp.zeros((chunk_reads, L // 4), jnp.uint8),
+                 jnp.zeros((chunk_reads, L // 8), jnp.uint8))
+        else:
+            z = jnp.zeros((chunk_reads, L), jnp.uint8)
+        bufs, _, _ = fn(z, jnp.zeros((chunk_reads,), jnp.int32),
+                        counter.buffers, 0, 0, 0)
+        counter.buffers = bufs
+        counter.finalize_chunk()
+        counter.reset_chunk()
     table = NodeTable(
         min_abundance=params.min_kmer_abundance,
         use_bf=params.use_bf,
@@ -154,8 +190,11 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
         previous chunk's device work)."""
         nonlocal chunk_i, nb_windows
         with timer.phase("construct"):
+            # partial chunks (the tail, or a small whole input) only loop
+            # over the batches that hold reads
+            nbat = min(n_batches, (fill + B - 1) // B)
             bufs, _n, n_over = _constructs[Lc](staged, lens_d,
-                                               counter.buffers, 0)
+                                               counter.buffers, 0, 0, nbat)
             counter.buffers = bufs
             res = counter.finalize_chunk()
             n_over = int(np.asarray(n_over))
@@ -170,12 +209,19 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                 f"{n_over} reads overflowed minimizer capacity; "
                 "use --engine host")
         with timer.phase("merge"):
-            sel, index = table.merge_chunk(
+            sel, _ = table.merge_chunk(
                 res["key_lo"], res["key_hi"], res["count"])
             nb_windows += int(res["count"].sum())
         cross = np.nonzero(sel)[0]
         if cross.size:
             occs = counter.occ_at_chunk(cross, sel[cross])
+            # node ids are assigned in crossing-OCCURRENCE order (the
+            # whole-run engines' order, so GFA/.sequences come out
+            # byte-identical): sort this chunk's crossings by the selected
+            # occurrence before metadata/id assignment
+            order = np.argsort(occs, kind="stable")
+            cross = cross[order]
+            occs = occs[order]
             with timer.phase("gather"):
                 if rec_ok:
                     vec = None
@@ -188,10 +234,10 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
             shift1 = (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16)
             rev = (meta[:, 2] >> 31).astype(np.uint8)
             with timer.phase("meta"):
-                table.set_meta_batch(res["key_lo"][cross],
-                                     res["key_hi"][cross],
-                                     seqlen, shift0, shift1)
-                vec_ids.append(index[cross].copy())
+                index_c = table.set_meta_batch(res["key_lo"][cross],
+                                               res["key_hi"][cross],
+                                               seqlen, shift0, shift1)
+                vec_ids.append(index_c)
                 if rec_ok:
                     gk_arrs.append(gk)
                     gf_arrs.append(gflag)
@@ -205,7 +251,7 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                     abs_end = abs_start + seqlen + (params.l - 2)
                     write_records_native(
                         f"{prefix}.{chunk_i}.sequences", params.k, params.l,
-                        index[cross], vec, blob, abs_start, abs_end, rev,
+                        index_c, vec, blob, abs_start, abs_end, rev,
                         shift0, shift1,
                         hash_bound=params.hash_bound if rec_ok else 0,
                         mpos=mpos)

@@ -55,7 +55,7 @@ class NodeTable:
         lib.nt_set_meta_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         self._t = lib.nt_create(
             capacity_hint, min_abundance, int(use_bf), bloom_log2_bits, int(keep_all)
@@ -119,17 +119,23 @@ class NodeTable:
         return sel, index
 
     def set_meta_batch(self, key_lo, key_hi, seqlen, shift0, shift1):
-        """Record crossing-occurrence seqlen/shift for existing entries."""
+        """Record crossing-occurrence seqlen/shift AND assign node ids, in
+        call order — the chunked driver calls this with keys sorted by their
+        crossing occurrence, reproducing the whole-run engines' id order
+        (byte-identical GFA).  Returns the assigned ids."""
         n = len(key_lo)
         key_lo = np.ascontiguousarray(key_lo, dtype=np.uint64)
         key_hi = np.ascontiguousarray(key_hi, dtype=np.uint64)
         seqlen = np.ascontiguousarray(seqlen, dtype=np.uint32)
         shift0 = np.ascontiguousarray(shift0, dtype=np.uint16)
         shift1 = np.ascontiguousarray(shift1, dtype=np.uint16)
+        index = np.zeros(n, dtype=np.uint32)
         self._lib.nt_set_meta_batch(
             self._t, n, self._ptr(key_lo), self._ptr(key_hi),
             self._ptr(seqlen), self._ptr(shift0), self._ptr(shift1),
+            self._ptr(index),
         )
+        return index
 
     def lookup_batch(self, key_lo, key_hi) -> np.ndarray:
         n = len(key_lo)

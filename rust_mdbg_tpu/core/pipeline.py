@@ -17,12 +17,10 @@ import time
 
 import numpy as np
 
-from ..utils.alloc import full_fast
-
 from ..io import fastx
 from ..io.ec_data import EcWriter
 from ..io.sequences import SequencesWriter, remove_stale
-from ..params import Params
+from ..params import Params, staging_width
 from ..utils.seq import revcomp
 from ..utils.timing import PhaseTimer
 from .extract import extract_windows_host
@@ -58,11 +56,18 @@ def assemble(reads_path: str, params: Params, prefix: str,
     if _device_table_eligible(params, read_stats_path):
         from .chunked import assemble_device_chunked, chunked_eligible
 
-        if params.chunk_reads > 0 and chunked_eligible(params):
-            return assemble_device_chunked(reads_path, params, prefix, timer,
-                                           stats,
-                                           chunk_reads=params.chunk_reads)
         try:
+            if chunked_eligible(params):
+                # the single production device driver: native prefetch
+                # parser, host RSS bounded by one chunk of raw bytes at ANY
+                # input scale, exact crossing capture (minab occurrence
+                # slots), per-chunk phased emission
+                return assemble_device_chunked(
+                    reads_path, params, prefix, timer, stats,
+                    chunk_reads=params.chunk_reads)
+            # minabund beyond the chunk slot ceiling: whole-run device
+            # finalize (crossing selection fully on device; raw bytes stay
+            # resident for the run)
             return assemble_device_table(reads_path, params, prefix, timer,
                                          stats)
         except RuntimeError as e:
@@ -247,11 +252,14 @@ def _device_table_eligible(params: Params, read_stats_path) -> bool:
 def assemble_device_table(reads_path: str, params: Params, prefix: str,
                           timer: PhaseTimer, stats: dict) -> dict:
     """Fully device-resident construction (the bench path, wired to real
-    input): chunked H2D staging, one fused construct dispatch per chunk,
-    single sort/segment-reduce finalize, native .sequences + GFA writers.
+    input): native prefetch-parsed H2D staging, one fused construct dispatch
+    per chunk, single sort/segment-reduce finalize, native .sequences + GFA
+    writers.
 
-    Raw read bytes are kept in memory for crossing-sequence extraction
-    (fine to a few Gbp; the chunked host-merge path covers larger inputs).
+    Raw read bytes are kept in memory for crossing-sequence extraction, so
+    this path only serves --minabund beyond core/chunked.MAX_CHUNK_SLOTS
+    (the crossing is selected fully on device, exact for any minabund); all
+    other device runs use the bounded-memory chunked driver.
     """
     import jax
 
@@ -259,7 +267,7 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     from ..ops.sort_count import DeviceNodeCounter, make_fused_construct
 
     mean_len, mx = fastx.read_first_n_reads(reads_path, 100)
-    L = params.max_read_len or max(1024, ((2 * mx + 511) // 512) * 512)
+    L = params.max_read_len or staging_width(mx)
     B = params.batch_reads
     CHUNK_BATCHES = 16
     dev = DeviceExtractor(params)
@@ -301,34 +309,36 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
                                      packed=packed, w_slot=W_slot)
 
     remove_stale(prefix)
-    raw_reads: list[bytes] = []
     nb_reads = 0
     read_base = 0
     n_over_acc = []
+    CH = CHUNK_BATCHES * B
+    # raw bytes stay resident for the whole run (crossing occurrences may
+    # reference any read) — this path only serves minabund beyond the chunk
+    # slot ceiling; core/chunked.py is the bounded-memory production driver.
+    # Parse/encode runs on the native prefetch parser (core/fastx_feed), so
+    # it overlaps device compute like the reference's seq_io reader thread
+    # (main.rs:834-838) — no per-read Python objects are held.
+    blob_parts: list[np.ndarray] = []
+    row_off_parts: list[np.ndarray] = []
+    bytes_base = 0
 
-    chunk_codes = full_fast((CHUNK_BATCHES * B, L), 5, np.uint8)
-    chunk_len = np.zeros(CHUNK_BATCHES * B, dtype=np.int32)
-    fill = 0
-
-    def flush_chunk():
-        nonlocal read_base, fill
-        if fill == 0:
-            return
-        chunk_len[fill:] = 0
+    def flush_chunk(codes, lens, fill):
+        nonlocal read_base
         if packed:
             from ..ops.pack import pack_codes_np
 
-            pk_h, mk_h = pack_codes_np(chunk_codes)
+            pk_h, mk_h = pack_codes_np(codes)
             staged = (jax.device_put(pk_h), jax.device_put(mk_h))
         else:
-            staged = jax.device_put(chunk_codes)
+            staged = jax.device_put(codes)
+        nbat = min(CHUNK_BATCHES, (fill + B - 1) // B)
         bufs, _n, n_over = construct(
-            staged, jax.device_put(chunk_len), counter.buffers, read_base,
+            staged, jax.device_put(lens), counter.buffers, read_base, 0, nbat,
         )
         counter.buffers = bufs
         n_over_acc.append(n_over)
-        read_base += CHUNK_BATCHES * B
-        fill = 0
+        read_base += CH
 
     # Phased emission (device_out.PhasedEmitter): at a power-of-2 chunk
     # boundary near ~25% of the estimated input, a prefix finalize
@@ -339,7 +349,7 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     # prefix-finalize compile shapes bounded across runs.
     from .device_out import PhasedEmitter
 
-    est_chunks = max(1, read_cap // (CHUNK_BATCHES * B))
+    est_chunks = max(1, read_cap // CH)
     trigger_chunks = 4
     while trigger_chunks * 4 < est_chunks:
         trigger_chunks *= 2
@@ -348,10 +358,9 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     def start_phase1():
         pr = read_base * W_slot
         out1 = counter.finalize_dispatch(prefix_rows=pr)
-        blob1 = np.frombuffer(b"".join(raw_reads), dtype=np.uint8)
-        off1 = np.zeros(len(raw_reads) + 1, dtype=np.int64)
-        np.cumsum([len(r) for r in raw_reads], out=off1[1:])
-        em = PhasedEmitter(prefix, params, blob1, off1[:-1],
+        blob1 = np.concatenate(blob_parts)
+        ro1 = np.concatenate(row_off_parts)
+        em = PhasedEmitter(prefix, params, blob1, ro1,
                            no_basespace=params.no_basespace)
 
         def run():
@@ -364,34 +373,40 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
         phase["em"] = em
         phase["thread"] = t
 
+    from .fastx_feed import stream_chunks
+
     with timer.phase("extract+count(device)"):
         chunks_flushed = 0
-        for batch in fastx.batches(reads_path, B, L):
-            n = batch.codes.shape[0]
-            if n != B:  # overflow long-read batch: host path not supported here
+        for codes, lens, cblob, cblob_off, fill in stream_chunks(
+                reads_path, CH, B, L, mean_len):
+            if fill == 0:
+                continue
+            if codes.shape[1] != L:
                 raise RuntimeError("read longer than staging width")
-            if read_base + fill + CHUNK_BATCHES * B > counter.read_cap:
-                counter.grow(read_base + fill + CHUNK_BATCHES * B)
-            chunk_codes[fill : fill + n] = batch.codes
-            chunk_len[fill : fill + n] = batch.lengths
-            raw_reads.extend(batch.raw)
-            nb_reads += batch.n_reads
-            fill += n
-            if fill == CHUNK_BATCHES * B:
-                flush_chunk()
-                chunks_flushed += 1
-                if (chunks_flushed == trigger_chunks and "em" not in phase
-                        and minimizer_recompute_ok(params)):
-                    start_phase1()
-        flush_chunk()
+            if read_base + CH > counter.read_cap:
+                counter.grow(read_base + CH)
+            flush_chunk(codes, lens, fill)
+            # global read row -> raw-byte offset (rows past fill are never
+            # referenced: length-0 rows produce no windows)
+            ro = np.full(CH, bytes_base, dtype=np.int64)
+            ro[:fill] += cblob_off[:fill]
+            blob_parts.append(cblob)
+            row_off_parts.append(ro)
+            bytes_base += int(cblob.size)
+            nb_reads += fill
+            chunks_flushed += 1
+            if (chunks_flushed == trigger_chunks and "em" not in phase
+                    and minimizer_recompute_ok(params)):
+                start_phase1()
         if "thread" in phase:
             phase["thread"].join()  # phase-1 emission ran under the stream
         row_lo = phase["ph1"].n_pass if "ph1" in phase else 0
         # async device reduction starts; the blob concat overlaps it
         nodes = counter.finalize(lazy=True, row_lo=row_lo)
-        offsets = np.zeros(len(raw_reads) + 1, dtype=np.int64)
-        np.cumsum([len(r) for r in raw_reads], out=offsets[1:])
-        blob = np.frombuffer(b"".join(raw_reads), dtype=np.uint8)
+        blob = (np.concatenate(blob_parts) if blob_parts
+                else np.zeros(0, dtype=np.uint8))
+        row_off = (np.concatenate(row_off_parts) if row_off_parts
+                   else np.zeros(0, dtype=np.int64))
         n_over = sum(int(np.asarray(x)) for x in n_over_acc)
         if n_over:
             raise RuntimeError(
@@ -405,11 +420,11 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
 
         if "em" in phase:
             em = phase["em"]
-            em.emit_phase(nodes, reads_buf=blob, row_off=offsets[:-1])
+            em.emit_phase(nodes, reads_buf=blob, row_off=row_off)
             counts = nodes.fetch_full("count")
             g = em.finish(counts)
         else:
-            g = emit_device_outputs(prefix, params, nodes, blob, offsets[:-1],
+            g = emit_device_outputs(prefix, params, nodes, blob, row_off,
                                     no_basespace=params.no_basespace)
             counts = nodes.fetch_full("count")
         stats["nb_windows"] = int(counts.sum())

@@ -180,17 +180,17 @@ void nt_add_batch(void* p, int64_t n,
 
 // Chunked hierarchical merge (core/chunked.py): one call per input chunk.
 // Inputs are the chunk's unique keys in first-occurrence order with their
-// in-chunk occurrence counts.  Updates global abundances, assigns node ids
-// at the min_abund CROSSING (deterministic and chunk-emission-ordered:
-// within a chunk ids follow the chunk's unique-key order, across chunks the
-// crossing chunk's position — a chunk-granular version of the whole-run
-// drivers' crossing-occurrence order), and reports for each
+// in-chunk occurrence counts.  Updates global abundances and reports for each
 // key whether the min_abund crossing occurrence (main.rs:680-707) falls in
 // this chunk: out_sel[i] = 0 (no) or j > 0 (use the chunk's j-th occurrence).
 // j = min_abund - prior_global_count (+1 when the Bloom consumed the chunk's
 // 1st appearance), so j <= min_abund always — the device emission carries
 // min_abund occurrence slots, making the capture exact for ANY --minabund.
-// out_index[i] = node id, or 0xFFFFFFFF for a Bloom-swallowed singleton.
+// Node ids are NOT assigned here: crossing entries stay provisional until
+// nt_set_meta_batch, which the driver calls in crossing-OCCURRENCE order —
+// reproducing the whole-run engines' id order exactly (byte-identical GFA).
+// out_index[i] = provisional id, or 0xFFFFFFFF for a Bloom-swallowed
+// singleton.
 void nt_merge_chunk(void* p, int64_t n,
                     const uint64_t* key_lo, const uint64_t* key_hi,
                     const uint32_t* count,
@@ -210,8 +210,7 @@ void nt_merge_chunk(void* p, int64_t n,
             Entry& e = t->slots[slot];
             uint64_t a = e.abundance;
             if (a < minab && a + c >= minab) {
-                out_sel[i] = (uint8_t)(minab - a);
-                e.index = t->next_index++;  // crosses in this chunk
+                out_sel[i] = (uint8_t)(minab - a);  // id assigned at set_meta
             }
             uint64_t na = a + c;
             e.abundance = na > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)na;
@@ -241,8 +240,7 @@ void nt_merge_chunk(void* p, int64_t n,
         e.seqlen = 0; e.shift0 = 0; e.shift1 = 0;  // set via nt_set_meta_batch
         uint64_t na = prev + c;
         e.abundance = na > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)na;
-        bool crossed = plain || (prev < minab && prev + c >= minab);
-        e.index = crossed ? t->next_index++ : (0x80000000u | t->next_ins++);
+        e.index = 0x80000000u | t->next_ins++;  // real id at nt_set_meta_batch
         t->slots[slot] = e;
         t->used[slot] = 1;
         t->count++;
@@ -261,21 +259,27 @@ void nt_merge_chunk(void* p, int64_t n,
     }
 }
 
-// Fill seqlen/shift of existing entries (the chunked driver gathers crossing
-// metadata from the device after the merge decides which keys crossed).
+// Fill seqlen/shift of entries whose crossing fell in this chunk, AND assign
+// their node ids: the driver calls this in crossing-OCCURRENCE order (it
+// sorts the chunk's crossing keys by the occurrence the merge selected), so
+// ids match the whole-run engines' crossing order exactly.  out_index gets
+// the assigned (or existing) id per key.
 void nt_set_meta_batch(void* p, int64_t n,
                        const uint64_t* key_lo, const uint64_t* key_hi,
                        const uint32_t* seqlen,
-                       const uint16_t* shift0, const uint16_t* shift1) {
+                       const uint16_t* shift0, const uint16_t* shift1,
+                       uint32_t* out_index) {
     Table* t = static_cast<Table*>(p);
     for (int64_t i = 0; i < n; i++) {
         bool found;
         uint64_t slot = t->find(key_lo[i], key_hi[i], &found);
-        if (!found) continue;
+        if (!found) { out_index[i] = 0xFFFFFFFFu; continue; }
         Entry& e = t->slots[slot];
         e.seqlen = seqlen[i];
         e.shift0 = shift0[i];
         e.shift1 = shift1[i];
+        if (e.index & 0x80000000u) e.index = t->next_index++;
+        out_index[i] = e.index;
     }
 }
 

@@ -29,7 +29,7 @@ from ..utils.seq import BASE_CODE
 def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
                     use_pallas=False, compact_output=False,
                     count_output=False, syncmer=None, lmer=False,
-                    filter_mode=None):
+                    filter_mode=None, filter_bloom=False):
     import jax.numpy as jnp
 
     from .hpc import hpc_jax, _scatter2d
@@ -37,15 +37,19 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
     from .nthash import nthash_windows_jax
 
     # optional scheme tables (traced args; see make_device_extractor):
-    #   lmer:        (sorted packed-lmer keys u64 [T], remap values u64 [T])
-    #   filter_mode: (preload u64 [P] sorted, seen u64 [S] sorted MAX-padded,
-    #                 seen_n i32) — UHS/LCP check_and_add state
+    #   lmer:         (sorted packed-lmer keys u64 [T], remap values u64 [T])
+    #   filter_mode:  exact mode (preload u64 [P] sorted, seen u64 [S] sorted
+    #                 MAX-padded) — UHS/LCP check_and_add state; bloom mode
+    #                 (bits u32 [m/32],) — the --bf filter's bit tensor
     ti = 0
     if lmer:
         lmer_keys, lmer_vals = tables[ti], tables[ti + 1]
         ti += 2
     if filter_mode is not None:
-        f_preload, f_seen = tables[ti], tables[ti + 1]
+        if filter_bloom:
+            f_bits = tables[ti]
+        else:
+            f_preload, f_seen = tables[ti], tables[ti + 1]
 
     B, L = codes.shape
     idx = jnp.arange(L, dtype=jnp.int32)
@@ -95,9 +99,17 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
         sel = sel & found
         canon = jnp.where(found, lmer_vals[tix].reshape(B, L), canon)
     if filter_mode is not None:
-        sel, fstate_out = _stream_filter(
-            canon, sel, hpc_codes, f_preload, f_seen,
-            l=l, skip_n=(filter_mode == "lcp"))
+        if filter_bloom:
+            sel, new_bits = _stream_filter_bloom(
+                canon, sel, hpc_codes, f_bits,
+                l=l, skip_n=(filter_mode == "lcp"))
+            # same fstate tuple arity as the exact path; bloom never
+            # overflows and needs no counter
+            fstate_out = (new_bits, jnp.int32(0), jnp.zeros((), bool))
+        else:
+            sel, fstate_out = _stream_filter(
+                canon, sel, hpc_codes, f_preload, f_seen,
+                l=l, skip_n=(filter_mode == "lcp"))
 
     # compact selected minimizers to [B, M] with a TWO-LEVEL sort: per-512
     # chunk sorts (bitonic cost grows ~log^2 width: 45 passes at 512 vs 120
@@ -246,6 +258,91 @@ def _packed_lmers(hpc_codes, l: int):
     return pk
 
 
+def _filter_skip_n(sel, hpc_codes, l: int):
+    """extract_lcp skips minimizers whose l-mer contains a non-ACGT code
+    (read.rs:115: contains('N'))."""
+    import jax.numpy as jnp
+
+    B, L = hpc_codes.shape
+    isn = (hpc_codes >= 4).astype(jnp.int32)
+    ncum = jnp.cumsum(isn, axis=1)
+    win = ncum[:, l - 1:] - jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), ncum[:, : L - l]], axis=1)
+    has_n = jnp.concatenate(
+        [win > 0, jnp.ones((B, l - 1), bool)], axis=1)
+    return sel & ~has_n
+
+
+def _mix64_jax(h):
+    """The invertible 64-bit mix (read.rs:43-52 constants) — must equal
+    models/schemes.BloomCheckAndAddFilter._idx bit for bit."""
+    import jax.numpy as jnp
+
+    h = (~h + (h << jnp.uint64(21)))
+    h = h ^ (h >> jnp.uint64(24))
+    h = (h + (h << jnp.uint64(3)) + (h << jnp.uint64(8)))
+    h = h ^ (h >> jnp.uint64(14))
+    return h
+
+
+def _stream_filter_bloom(canon, sel, hpc_codes, bits, *,
+                         l: int, skip_n: bool):
+    """UHS/LCP check_and_add selection through a BLOOM filter (the
+    reference's actual memory model, minimizers.rs:115-161 + --bf mode of
+    models/schemes.BloomCheckAndAddFilter) as a data-parallel pass.
+
+    State is a fixed device bit tensor `bits` (u32 words) — constant memory
+    at any input scale, unlike the exact-set path's growing sorted buffer.
+    Semantics equal the host Bloom filter exactly (same mix hash, same
+    power-of-2 modulo, same preloaded bits): a candidate is KEPT iff its bit
+    was set by the preparation preload, an earlier batch, or an earlier
+    candidate in this batch (stream order); every candidate sets its bit.
+
+    In-batch ordering is resolved by one stable sort on BIT index: the first
+    in-batch occurrence of a bit is kept only if the bit was already set;
+    later occurrences of the same bit always pass (they see the first's
+    insert).  Inserts use scatter-ADD of deduplicated, not-already-set bits —
+    each word receives each bit at most once, so add == or, exactly.
+
+    Returns (sel', new_bits).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, L = canon.shape
+    if skip_n:
+        sel = _filter_skip_n(sel, hpc_codes, l)
+    NL = B * L
+    m_bits = bits.shape[0] * 32
+    hf = canon.reshape(NL)
+    cand = sel.reshape(NL)
+    bidx = (_mix64_jax(hf) & jnp.uint64(m_bits - 1))
+    widx = (bidx >> jnp.uint64(5)).astype(jnp.int32)
+    bmask = (jnp.uint32(1) << (bidx & jnp.uint64(31)).astype(jnp.uint32))
+    mem = (bits[widx] & bmask) != 0
+
+    sidx = jnp.arange(NL, dtype=jnp.int32)
+    skey = jnp.where(cand, bidx, ~jnp.uint64(0))
+    sk, si = jax.lax.sort((skey, sidx), num_keys=1, is_stable=True)
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    scand = sk != ~jnp.uint64(0)
+    dup_sorted = scand & ~first
+    dup = jnp.zeros((NL,), bool).at[si].set(dup_sorted)
+
+    keep = cand & (mem | dup)
+
+    # inserts: first in-batch occurrence of each candidate bit that is not
+    # already set; bits are distinct and absent, so scatter-add == or
+    mem_sorted = mem[si]
+    ins = scand & first & ~mem_sorted
+    ins_w = jnp.where(ins, (sk >> jnp.uint64(5)).astype(jnp.int32),
+                      jnp.int32(bits.shape[0]))  # OOB rows drop
+    ins_m = (jnp.uint32(1) << (sk & jnp.uint64(31)).astype(jnp.uint32))
+    new_bits = bits.at[ins_w].add(jnp.where(ins, ins_m, jnp.uint32(0)),
+                                  mode="drop")
+    return keep.reshape(B, L), new_bits
+
+
 def _stream_filter(canon, sel, hpc_codes, preload, seen, *,
                    l: int, skip_n: bool):
     """UHS/LCP check_and_add selection (read.rs:125-156 / 93-124) as a
@@ -274,15 +371,7 @@ def _stream_filter(canon, sel, hpc_codes, preload, seen, *,
 
     B, L = canon.shape
     if skip_n:
-        # extract_lcp skips minimizers whose l-mer contains a non-ACGT code
-        # (read.rs:115: contains('N'))
-        isn = (hpc_codes >= 4).astype(jnp.int32)
-        ncum = jnp.cumsum(isn, axis=1)
-        win = ncum[:, l - 1:] - jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), ncum[:, : L - l]], axis=1)
-        has_n = jnp.concatenate(
-            [win > 0, jnp.ones((B, l - 1), bool)], axis=1)
-        sel = sel & ~has_n
+        sel = _filter_skip_n(sel, hpc_codes, l)
 
     NL = B * L
     maxu = ~jnp.uint64(0)
@@ -426,7 +515,8 @@ class DeviceExtractor:
 
     def __init__(self, params, use_pallas: bool | None = None,
                  lmer_table=None, filter_mode: str | None = None,
-                 filter_preload=None, m2i: dict | None = None):
+                 filter_preload=None, m2i: dict | None = None,
+                 filter_bloom_bits=None):
         import jax
         import jax.numpy as jnp
 
@@ -446,7 +536,16 @@ class DeviceExtractor:
             keys, vals = lmer_table
             self._lmer = (jnp.asarray(keys), jnp.asarray(vals))
         self.filter_mode = filter_mode
-        if filter_mode is not None:
+        self._filter_bloom = filter_bloom_bits is not None
+        if self._filter_bloom:
+            # --bf UHS/LCP: fixed-size bit tensor seeded from the host
+            # filter's preloaded bits (models/schemes.BloomCheckAndAddFilter
+            # bit layout == u32 little-endian view); constant memory at any
+            # input scale, FP semantics identical to the host filter
+            self._bits = jnp.asarray(
+                np.asarray(filter_bloom_bits).view(np.uint32))
+            self._m_mult = 1
+        elif filter_mode is not None:
             pre = (np.zeros(0, dtype=np.uint64) if filter_preload is None
                    else np.asarray(filter_preload, dtype=np.uint64))
             if pre.size == 0:
@@ -473,6 +572,7 @@ class DeviceExtractor:
                     compact_output=compact, syncmer=syncmer,
                     lmer=self._lmer is not None,
                     filter_mode=self.filter_mode,
+                    filter_bloom=self._filter_bloom,
                 )
             )
         return self._fns[key]
@@ -521,7 +621,9 @@ class DeviceExtractor:
         extra = ()
         if self._lmer is not None:
             extra += self._lmer
-        if self.filter_mode is not None:
+        if self._filter_bloom:
+            extra += (self._bits,)
+        elif self.filter_mode is not None:
             extra += (self._preload, self._seen)
         return extra
 
@@ -666,8 +768,8 @@ class DeviceExtractor:
             M = min(L, self.capacity(L) * self._m_mult)
             out = self._fn(B, L, M)(batch.codes, batch.lengths,
                                     *self._extra_args())
-            new_seen, new_n, state_over = out["fstate"]
-            if bool(np.asarray(state_over)):
+            new_state, new_n, state_over = out["fstate"]
+            if not self._filter_bloom and bool(np.asarray(state_over)):
                 self._grow_seen()
                 continue
             if np.asarray(out["overflow"]).any():
@@ -678,8 +780,11 @@ class DeviceExtractor:
                     "UHS/LCP device extraction overflowed per-512-window "
                     "compaction slots even at full capacity; rerun with "
                     "--engine host")
-            self._seen = new_seen
-            self.seen_n = int(np.asarray(new_n))
+            if self._filter_bloom:
+                self._bits = new_state
+            else:
+                self._seen = new_state
+                self.seen_n = int(np.asarray(new_n))
             return out
 
 
@@ -864,22 +969,26 @@ def make_device_extractor(params, minimizer_to_int=None, uhs_filter=None,
                 "l <= 21")
         lmer_table = _build_lmer_table(minimizer_to_int, params.l)
         m2i = minimizer_to_int
-    filter_mode = preload = None
+    filter_mode = preload = bloom_bits = None
     if params.uhs or params.lcp:
-        if params.use_bf or params.has_lmer_counts:
-            # Bloom false-positive semantics / combined remap+filter stay on
-            # the host engine
-            raise NotImplementedError(
-                "device UHS/LCP runs the exact-set filter only")
         f = uhs_filter if params.uhs else lcp_filter
-        if f is None or not hasattr(f, "_set"):
+        if f is None:
             raise NotImplementedError("UHS/LCP filter not prepared")
         filter_mode = "uhs" if params.uhs else "lcp"
-        # int entries only: LCP preloads STRINGS, which an int-hash query can
-        # never equal (models/schemes.py module docstring)
-        preload = np.fromiter(
-            (x for x in f._set if isinstance(x, (int, np.integer))),
-            dtype=np.uint64)
+        if hasattr(f, "_bits"):
+            # --bf mode: mirror the host Bloom filter's preloaded bit array
+            # (same mix hash + power-of-2 modulo -> identical FP pattern);
+            # device state is a fixed bit tensor, constant memory at scale
+            bloom_bits = np.asarray(f._bits, dtype=np.uint8).view(np.uint32)
+        elif hasattr(f, "_set"):
+            # exact-set mode; int entries only: LCP preloads STRINGS, which
+            # an int-hash query can never equal (models/schemes.py docstring)
+            preload = np.fromiter(
+                (x for x in f._set if isinstance(x, (int, np.integer))),
+                dtype=np.uint64)
+        else:
+            raise NotImplementedError("unrecognized UHS/LCP filter")
     return DeviceExtractor(params, use_pallas=(params.engine == "pallas"),
                            lmer_table=lmer_table, filter_mode=filter_mode,
-                           filter_preload=preload, m2i=m2i)
+                           filter_preload=preload, m2i=m2i,
+                           filter_bloom_bits=bloom_bits)

@@ -22,12 +22,16 @@ def pack_codes_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """[N, L] u8 codes -> (packed [N, L//4] u8, invalid-mask [N, L//8] u8).
 
     L must be a multiple of 8 (the staging width is always a multiple of
-    512).  Invalid positions (code > 3) pack as 0 in the 2-bit plane and 1
-    in the mask plane."""
+    512).  Invalid positions (code > 3) set the mask bit; their 2-bit plane
+    encodes WHICH invalid code: 0 -> N (code 4), 1 -> pad/other (code 5).
+    N must round-trip exactly — it is a real base to the HPC rule
+    (/root/reference/src/read.rs:163 compresses N runs) while 'other' is
+    not, so collapsing the two shifts minimizer positions on any read with
+    an NN run."""
     N, L = codes.shape
     assert L % 8 == 0, L
     bad = codes > 3
-    c = np.where(bad, 0, codes).astype(np.uint8)
+    c = np.where(bad, (codes != 4).astype(np.uint8), codes).astype(np.uint8)
     packed = (c[:, 0::4] | (c[:, 1::4] << 2) | (c[:, 2::4] << 4)
               | (c[:, 3::4] << 6))
     mask = np.packbits(bad, axis=1, bitorder="little")
@@ -35,7 +39,7 @@ def pack_codes_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def unpack_codes_jax(packed, mask):
-    """Device inverse of pack_codes_np: -> [B, L] u8 with 5 at invalid."""
+    """Device inverse of pack_codes_np: -> [B, L] u8 (4 = N, 5 = pad)."""
     import jax.numpy as jnp
 
     B, L4 = packed.shape
@@ -45,4 +49,4 @@ def unpack_codes_jax(packed, mask):
     bits = jnp.arange(8, dtype=jnp.uint8)
     bad = ((mask[:, :, None] >> bits[None, None, :]) & jnp.uint8(1))
     bad = bad.reshape(B, L4 * 4)
-    return jnp.where(bad == 1, jnp.uint8(5), codes)
+    return jnp.where(bad == 1, jnp.uint8(4) + codes, codes)

@@ -38,7 +38,7 @@ import numpy as np
 
 from ..utils.alloc import full_fast
 
-from ..params import Params
+from ..params import Params, staging_width
 
 
 def init_distributed(coordinator: str | None = None,
@@ -76,10 +76,14 @@ def fasta_range_records(path: str, start: int, end: int):
         fsize = f.tell()
         if start >= fsize:
             return
-        f.seek(start)
         buf = b""
         if start > 0:
-            # discard the (possibly partial) record the range starts inside
+            # discard the (possibly partial) record the range starts inside;
+            # scan from start-1 so a record whose '>' sits exactly AT the
+            # boundary (newline at start-1) is found and kept by THIS host
+            # (the previous host excludes it via its line_start >= end check)
+            start -= 1
+            f.seek(start)
             chunk = f.read(1 << 20)
             while chunk:
                 i = chunk.find(b"\n>")
@@ -91,6 +95,8 @@ def fasta_range_records(path: str, start: int, end: int):
                 chunk = f.read(1 << 20)
             if not chunk:
                 return
+        else:
+            f.seek(start)
         pos = start  # byte offset of buf[0]
         name = None
         seq_parts: list[bytes] = []
@@ -126,10 +132,45 @@ def fasta_range_records(path: str, start: int, end: int):
             yield name, b"".join(seq_parts)
 
 
+def count_range_records(path: str, start: int, end: int) -> int:
+    """Number of FASTA records whose '>' byte lies in [start, end) — same
+    ownership rule as fasta_range_records, by raw byte scan (no parsing).
+    Lets every host know its round count UP FRONT, so the streaming loop
+    needs no per-round liveness collective."""
+    n = 0
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        fsize = f.tell()
+        if start >= fsize:
+            return 0
+        lo = max(0, start - 1)
+        f.seek(lo)
+        prev = b""   # '>' at byte 0 is handled by the explicit check below
+        pos = lo
+        while pos < end:
+            chunk = f.read(min(1 << 20, end - pos))
+            if not chunk:
+                break
+            data = prev + chunk
+            # '>' at a line start, with the '>' byte itself in [start, end)
+            n += data.count(b"\n>")
+            prev = chunk[-1:]
+            pos += len(chunk)
+        if start == 0:
+            f.seek(0)
+            if f.read(1) == b">":
+                n += 1
+    return n
+
+
 def _host_inputs(reads_path: str, pid: int, nproc: int):
     """Resolve this host's input share: (list of (path, start, end))."""
     if "," in str(reads_path):
         files = [p for p in str(reads_path).split(",") if p]
+        bad = [f for f in files if f.endswith((".gz", ".lz4"))]
+        if bad:
+            raise ValueError(
+                f"multihost file-list sharding needs plain FASTA: {bad[0]}")
         return [(f, 0, os.path.getsize(f)) for i, f in enumerate(files)
                 if i % nproc == pid]
     p = str(reads_path)
@@ -205,7 +246,7 @@ def assemble_multihost(reads_path: str, params: Params, prefix: str) -> dict:
     from ..io import fastx
 
     mean_len, mx = fastx.read_first_n_reads(probe, 100)
-    L = params.max_read_len or max(1024, ((2 * mx + 511) // 512) * 512)
+    L = params.max_read_len or staging_width(mx)
     B = ((params.batch_reads + n - 1) // n) * n
     B_host = B // nproc
     dev = DeviceExtractor(params)
@@ -229,25 +270,26 @@ def assemble_multihost(reads_path: str, params: Params, prefix: str) -> dict:
     batches = _host_batches(inputs, B_host, L)
     offset = 0
     read_base = 0
-    rounds = 0
     zeros_c = full_fast((B_host, L), 5, np.uint8)
     zeros_l = np.zeros(B_host, dtype=np.int32)
     drops = []
-    while True:
+    # ONE upfront collective replaces the round-2 per-round alive-flag
+    # allgather (N tiny Gloo collectives under load were the flaky part):
+    # every host counts its share's records by raw byte scan, and all hosts
+    # run exactly max(ceil(count / B_host)) rounds, feeding zero batches
+    # past their own end.
+    my_reads = sum(count_range_records(p, s, e) for p, s, e in inputs)
+    all_counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([my_reads], dtype=np.int64), tiled=True)).reshape(-1)
+    rounds = int(max(1, -(-int(all_counts.max()) // B_host)))
+    for _ in range(rounds):
         nxt = next(batches, None)
         if nxt is None:
             codes_h, lens_h = zeros_c, zeros_l
-            alive = 0
         else:
             codes_h, lens_h, raw = nxt
             raw_reads.extend(raw)
             raw_reads.extend([b""] * (B_host - len(raw)))
-            alive = 1
-        # every host must agree to stop: allgather the alive flags
-        flags = multihost_utils.process_allgather(
-            np.asarray([alive], dtype=np.int32), tiled=True)
-        if int(np.asarray(flags).sum()) == 0:
-            break
         codes = jax.make_array_from_process_local_data(shardings[0], codes_h)
         lengths = jax.make_array_from_process_local_data(shardings[1], lens_h)
         bk, bm, bv, dropped, n_over = step(
@@ -257,7 +299,6 @@ def assemble_multihost(reads_path: str, params: Params, prefix: str) -> dict:
         drops.append((dropped, n_over))
         offset += recv
         read_base += B
-        rounds += 1
         if offset + recv > window_cap:
             raise RuntimeError("sharded window capacity exceeded")
     res = fin(*buffers)

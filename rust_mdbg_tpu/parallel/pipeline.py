@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..params import staging_width
 from .mesh import AXIS
 from .sharded import _bucket_by_owner
 
@@ -164,7 +165,7 @@ def assemble_sharded(reads_path: str, params, prefix: str,
     mesh = make_mesh(n_devices)
     n = mesh.devices.size
     mean_len, mx = fastx.read_first_n_reads(reads_path, 100)
-    L = params.max_read_len or max(1024, ((2 * mx + 511) // 512) * 512)
+    L = params.max_read_len or staging_width(mx)
     B = ((params.batch_reads + n - 1) // n) * n
     dev = DeviceExtractor(params)
     M = dev.capacity(L)

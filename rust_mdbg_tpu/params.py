@@ -74,6 +74,23 @@ class Params:
         return dataclasses.replace(self, **kw)
 
 
+def staging_width(mx: int) -> int:
+    """Device staging width L for reads whose sampled max length is mx.
+
+    Carries 2x headroom over the sample (unsampled longer reads would be
+    fatal), quantized to the coarse bucket ladder {2^n, 1.5*2^n} so that
+    datasets with slightly different read lengths reuse the SAME compiled
+    shapes — XLA compiles are keyed on L, and through this environment's
+    remote-compile relay each distinct L costs tens of seconds.  Every
+    bucket is 512-aligned, preserving the packed-feed (L % 8) invariant."""
+    L = max(1024, 2 * mx)
+    p = 1024
+    while p < L:
+        p *= 2
+    c = (3 * p) // 4
+    return c if L <= c and c >= 1024 else p
+
+
 def autodetect_k_l_d(mean_read_length: int) -> tuple[int, int, float]:
     """k, l, density from mean read length (/root/reference/src/main.rs:214-226).
 

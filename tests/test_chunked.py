@@ -39,6 +39,10 @@ def _gfa_node_set(prefix):
     return sorted(nodes), edges
 
 
+def _gfa_bytes(prefix):
+    return open(prefix + ".gfa", "rb").read()
+
+
 @pytest.mark.parametrize("chunk_reads", [64, 256])
 def test_chunked_matches_host(tmp_path, chunk_reads):
     ph = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2,
@@ -48,7 +52,8 @@ def test_chunked_matches_host(tmp_path, chunk_reads):
     pb = str(tmp_path / "chunk")
     assemble(EXAMPLE, ph, pa)
     assemble_device_chunked(EXAMPLE, pc, pb, chunk_reads=chunk_reads)
-    assert _gfa_node_set(pa) == _gfa_node_set(pb)
+    # ids are crossing-occurrence-ordered on BOTH paths -> byte-identical
+    assert _gfa_bytes(pa) == _gfa_bytes(pb)
     assert _node_content(pa) == _node_content(pb)
 
 

@@ -181,3 +181,79 @@ def test_device_filter_seen_growth(tmp_path):
         if i >= 1:
             break
     assert dev._seen_cap > 64
+
+
+def test_device_uhs_bloom_matches_host(tmp_path):
+    """--bf UHS on device: the fixed bit-tensor filter must reproduce the
+    host BloomCheckAndAddFilter bit for bit (same mix hash, same preloaded
+    bits, same in-stream check_and_add ordering) — round-2 gap: bf-mode
+    UHS/LCP gated to the host engine."""
+    from rust_mdbg_tpu.models.schemes import BloomCheckAndAddFilter
+
+    rng = np.random.default_rng(31)
+    reads = str(tmp_path / "r.fa")
+    _synth_fasta(reads, rng, n_reads=48, length=3000)
+    uhs_file = tmp_path / "u.txt"
+    with open(uhs_file, "w") as f:
+        for _ in range(300):
+            f.write("".join("ACGT"[j] for j in rng.integers(0, 4, 10)) + "\n")
+    # small filter (2^16 bits) so false positives actually occur and the
+    # device must reproduce them, not just the exact-set behavior
+    p = Params(k=4, l=10, density=0.05, engine="device", uhs=True,
+               use_bf=True, bloom_log2_bits=16)
+    n, dev = _compare_engines(
+        reads, p,
+        (None, uhs_preparation(p, str(uhs_file)), None),
+        (None, uhs_preparation(p, str(uhs_file)), None))
+    assert n > 0
+    assert dev._filter_bloom
+
+
+def test_device_lcp_bloom_matches_host(tmp_path):
+    from rust_mdbg_tpu.models.schemes import lcp_preparation as _lcp
+
+    rng = np.random.default_rng(37)
+    reads = str(tmp_path / "r.fa")
+    _synth_fasta(reads, rng, n_reads=48, length=3000, with_n=True)
+    lcp_file = tmp_path / "c.txt"
+    with open(lcp_file, "w") as f:
+        for _ in range(200):
+            f.write("".join("ACGT"[j] for j in rng.integers(0, 4, 9)) + "\n")
+    p = Params(k=4, l=9, density=0.08, engine="device", lcp=True,
+               use_bf=True, bloom_log2_bits=16)
+    n, _ = _compare_engines(
+        reads, p,
+        (None, None, _lcp(p, str(lcp_file))),
+        (None, None, _lcp(p, str(lcp_file))))
+    assert n > 0
+
+
+def test_device_lmer_counts_plus_uhs_matches_host(tmp_path):
+    """Combined robust-minimizer remap + UHS filter on device (round-2 gap:
+    the combination gated to the host engine).  The reference remaps the
+    hash BEFORE the check_and_add query (read.rs:145-150)."""
+    from rust_mdbg_tpu.ops.minimizers import minimizers_preparation
+    from rust_mdbg_tpu.utils.seq import decode_bases
+
+    rng = np.random.default_rng(41)
+    reads = str(tmp_path / "r.fa")
+    _synth_fasta(reads, rng, n_reads=32, length=3000)
+    batch = next(iter(fastx.batches(reads, 16, 4096)))
+    counts = {}
+    for row in range(batch.codes.shape[0]):
+        cd = batch.codes[row, : batch.lengths[row]]
+        for i in range(0, len(cd) - 10, 9):
+            counts[decode_bases(cd[i : i + 10])] = 50
+    p = Params(k=4, l=10, density=0.3, engine="device",
+               has_lmer_counts=True, uhs=True)
+    m2i, _, _ = minimizers_preparation(p, counts)
+    assert m2i
+    uhs_file = tmp_path / "u.txt"
+    with open(uhs_file, "w") as f:
+        for s in sorted(counts)[::3]:
+            f.write(s + "\n")
+    n, _ = _compare_engines(
+        reads, p,
+        (m2i, uhs_preparation(p, str(uhs_file)), None),
+        (m2i, uhs_preparation(p, str(uhs_file)), None))
+    assert n > 0

@@ -61,13 +61,33 @@ def test_fasta_range_records_partition(tmp_path):
             for j in range(0, len(seq), 50):
                 f.write(seq[j : j + 50] + "\n")
     size = os.path.getsize(path)
+    from rust_mdbg_tpu.parallel.multihost import count_range_records
+
     for nproc in (1, 2, 3, 7):
         got = []
         for pid in range(nproc):
             step = (size + nproc - 1) // nproc
-            got.extend(fasta_range_records(path, pid * step,
-                                           min(size, (pid + 1) * step)))
+            lo, hi = pid * step, min(size, (pid + 1) * step)
+            part = list(fasta_range_records(path, lo, hi))
+            assert len(part) == count_range_records(path, lo, hi)
+            got.extend(part)
         assert got == recs, nproc
+
+    # cuts landing exactly ON a record's '>' byte (and one byte either
+    # side): the boundary record must be owned by exactly one side
+    starts = [0]
+    data = open(path, "rb").read()
+    i = data.find(b"\n>")
+    while i >= 0:
+        starts.append(i + 1)
+        i = data.find(b"\n>", i + 1)
+    for cut0 in (starts[3], starts[3] - 1, starts[3] + 1,
+                 starts[40], starts[-1]):
+        a = list(fasta_range_records(path, 0, cut0))
+        b = list(fasta_range_records(path, cut0, size))
+        assert a + b == recs, cut0
+        assert len(a) == count_range_records(path, 0, cut0)
+        assert len(b) == count_range_records(path, cut0, size)
 
 
 @pytest.mark.slow
