@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-reads", type=int, default=0,
                    help="force chunked >HBM counting with this many reads "
                         "per device chunk (0 = auto by input size)")
+    p.add_argument("--ec-device-poa", action="store_true",
+                   help="batched device POA DP for --error-correct "
+                        "(lockstep template chunks)")
+    p.add_argument("--ec-chunk", type=int, default=32,
+                   help="templates per lockstep EC chunk")
     p.add_argument("--multihost", action="store_true",
                    help="join a jax.distributed multi-host run (coordinator "
                         "from MDBG_COORD/MDBG_NPROCS/MDBG_PROC_ID env, or "
@@ -119,6 +124,8 @@ def params_from_args(args) -> tuple[Params, str]:
         batch_reads=args.batch_reads,
         max_read_len=args.max_read_len,
         chunk_reads=args.chunk_reads,
+        ec_device_poa=bool(args.ec_device_poa),
+        ec_chunk=args.ec_chunk,
     )
     if args.lmer_counts is not None:
         object.__setattr__(params, "_lmer_counts_path", args.lmer_counts)

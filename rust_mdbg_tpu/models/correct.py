@@ -57,13 +57,11 @@ class EcRead:
         self.corrected = False
 
 
-def poa_correct(read: EcRead, int_to_minimizer, buckets, params, corrected_map,
-                reads_by_id, poa_map):
+def _recruit(read: EcRead, buckets, params, reads_by_id):
+    """Bucket lookup (read.rs:437-448) + distance filter/sort/cap
+    (read.rs:450-456) -> [(candidate EcRead, dist)]."""
     n = params.n
     template = read.transformed
-    graph = PoaGraph(template, read.seq, read.pos)
-
-    # recruit bucket-mates sharing an n-tuple (read.rs:437-448)
     added = {read.id}
     bucket_reads: list[EcRead] = []
     for i in range(len(template) - n + 1):
@@ -73,14 +71,26 @@ def poa_correct(read: EcRead, int_to_minimizer, buckets, params, corrected_map,
             if q.id not in added:
                 bucket_reads.append(q)
                 added.add(q.id)
-
-    # distance filter + sort + cap (read.rs:450-456)
     with_dist = [
         (q, dist(template, q.transformed, params)) for q in bucket_reads
     ]
     with_dist = [t for t in with_dist if t[1] < DIST_THRESHOLD]
     with_dist.sort(key=lambda t: t[1])
-    with_dist = with_dist[:MAX_POA_READS]
+    return with_dist[:MAX_POA_READS]
+
+
+def _rev_candidate(q: EcRead, params):
+    rev_t = q.transformed[::-1]
+    rev_seq = revcomp(q.seq)
+    rev_pos = [len(q.seq) - params.l - p for p in q.pos[::-1]]
+    return rev_t, rev_seq, rev_pos
+
+
+def poa_correct(read: EcRead, int_to_minimizer, buckets, params, corrected_map,
+                reads_by_id, poa_map):
+    template = read.transformed
+    graph = PoaGraph(template, read.seq, read.pos)
+    with_dist = _recruit(read, buckets, params, reads_by_id)
 
     # device pre-triage (SURVEY P6): score all candidates fwd+rev against the
     # LINEAR template in one batched device DP; when the margin is decisive,
@@ -120,6 +130,15 @@ def poa_correct(read: EcRead, int_to_minimizer, buckets, params, corrected_map,
             aln = graph.semiglobal(rev_t)
             graph.add_alignment(aln, rev_t, rev_seq, rev_pos)
 
+    return _finish(read, graph, with_dist, params, int_to_minimizer,
+                   corrected_map, poa_map, poa_ids)
+
+
+def _finish(read, graph, with_dist, params, int_to_minimizer, corrected_map,
+            poa_map, poa_ids):
+    """Consensus + boundary trim + correction labeling + template mutation
+    (the tail of the reference's poa_correct, read.rs:520-557)."""
+    template = read.transformed
     cns, cns_es = graph.consensus(params.t)
     cns, cns_es = consensus_boundary(cns, cns_es, template)
     if not cns:
@@ -152,9 +171,89 @@ def poa_correct(read: EcRead, int_to_minimizer, buckets, params, corrected_map,
     return read
 
 
+def run_error_correction_lockstep(prefix, params, int_to_minimizer, buckets,
+                                  reads_by_id_raw):
+    """Device-batched EC: templates advance through their candidates in
+    LOCKSTEP chunks, each round aligning every active template's next
+    candidate (fwd AND rev) in one vmapped device POA DP dispatch
+    (ops/poa_device) — the TPU analog of the reference's crossbeam
+    thread-chunks (main.rs:855-883), which also run one template per thread
+    concurrently.  Per-template results equal the sequential driver with
+    exact double alignment (ec_fast_triage off); the only divergence is
+    WHICH templates get skipped as already-corrected: the sequential driver
+    checks before every template, this one at chunk boundaries — a
+    deterministic instance of the reference's thread-racy corrected map.
+    """
+    from ..ops.poa_device import poa_semiglobal_device
+
+    records = ec_data.load(prefix)
+    reads_by_id = {
+        rid: EcRead(rid, r["seq"], r["transformed"], r["pos"])
+        for rid, r in reads_by_id_raw.items()
+    }
+    postcor = ec_data.EcWriter(f"{prefix}.postcor")
+    poa_file = ec_data.EcWriter(f"{prefix}.poa")
+    corrected_map: dict = {}
+    poa_map: dict = {}
+    CH = max(1, int(getattr(params, "ec_chunk", 32)))
+    recs = list(records)
+    for c0 in range(0, len(recs), CH):
+        states = []  # [read, graph, with_dist, poa_ids]
+        for rec in recs[c0 : c0 + CH]:
+            if rec.seq_id in corrected_map:
+                continue
+            read = EcRead(rec.seq_id, rec.seq_str, rec.read_transformed,
+                          rec.read_minimizers_pos)
+            graph = PoaGraph(read.transformed, read.seq, read.pos)
+            states.append([read, graph,
+                           _recruit(read, buckets, params, reads_by_id), []])
+        max_c = max((len(s[2]) for s in states), default=0)
+        for ci in range(max_c):
+            act = [s for s in states if ci < len(s[2])]
+            if not act:
+                break
+            graphs, queries = [], []
+            for s in act:
+                q = s[2][ci][0]
+                graphs += [s[1], s[1]]
+                queries += [q.transformed, q.transformed[::-1]]
+            try:
+                alns = poa_semiglobal_device(graphs, queries)
+            except ValueError:  # bucket overflow (huge in-degree): host DP
+                alns = [g.semiglobal(q) for g, q in zip(graphs, queries)]
+            for t, s in enumerate(act):
+                q = s[2][ci][0]
+                s[3].append(q.id)
+                fwd, bwd = alns[2 * t], alns[2 * t + 1]
+                if fwd.score > bwd.score:
+                    s[1].add_alignment(fwd, q.transformed, q.seq, q.pos)
+                else:
+                    rev_t, rev_seq, rev_pos = _rev_candidate(q, params)
+                    s[1].add_alignment(bwd, rev_t, rev_seq, rev_pos)
+        for read, graph, with_dist, poa_ids in states:
+            out = _finish(read, graph, with_dist, params, int_to_minimizer,
+                          corrected_map, poa_map, poa_ids)
+            if out is None:
+                continue
+            postcor.record(out.id, out.seq, out.transformed,
+                           [int_to_minimizer.get(x, "")
+                            for x in out.transformed]
+                           if int_to_minimizer else [],
+                           out.pos)
+    for temp, ids in poa_map.items():
+        poa_file.record_poa(temp, ids)
+    postcor.flush()
+    postcor.close()
+    poa_file.flush()
+    poa_file.close()
+
+
 def run_error_correction(prefix, params, int_to_minimizer, buckets,
                          reads_by_id_raw):
     """Correct all reads from prefix.ec_data; write .postcor/.poa files."""
+    if getattr(params, "ec_device_poa", False):
+        return run_error_correction_lockstep(
+            prefix, params, int_to_minimizer, buckets, reads_by_id_raw)
     records = ec_data.load(prefix)
     reads_by_id = {
         rid: EcRead(rid, r["seq"], r["transformed"], r["pos"])

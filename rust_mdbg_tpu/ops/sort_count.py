@@ -126,6 +126,37 @@ def window_slot_capacity(params, B: int, L: int, M: int) -> int:
     return max(8, min(W, (w + 7) & ~7))
 
 
+def _scan_max_i32(x):
+    """Inclusive max-scan along the last axis (log-step doubling; cheap
+    vector passes, no reduce-window)."""
+    import jax.numpy as jnp
+
+    n = x.shape[-1]
+    s = 1
+    while s < n:
+        pad = jnp.full(x.shape[:-1] + (s,), jnp.iinfo(jnp.int32).min,
+                       dtype=x.dtype)
+        x = jnp.maximum(x, jnp.concatenate([pad, x[..., :-s]], axis=-1))
+        s <<= 1
+    return x
+
+
+def _scan_min_i32_rev_excl(x, fill: int):
+    """EXCLUSIVE reverse min-scan: out[r] = min over r' > r of x[r']."""
+    import jax.numpy as jnp
+
+    y = jnp.concatenate(
+        [x[..., 1:], jnp.full(x.shape[:-1] + (1,), fill, dtype=x.dtype)],
+        axis=-1)[..., ::-1]
+    n = y.shape[-1]
+    s = 1
+    while s < n:
+        pad = jnp.full(y.shape[:-1] + (s,), fill, dtype=y.dtype)
+        y = jnp.minimum(y, jnp.concatenate([pad, y[..., :-s]], axis=-1))
+        s <<= 1
+    return y[..., ::-1]
+
+
 def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
                       node_cap, pass_cap, emit_mpos=False, prefix_rows=None):
     """Sort + segment-reduce for the single-chip compact layout.
@@ -135,6 +166,15 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
     original window coordinates occ = read_row*W + w, b_mh/b_mp
     [read_cap, M].  Crossing-occurrence metadata is reconstructed by
     gathering k-slices from mh/mp at (occ // W, occ % W).
+
+    PASS-centric compaction: real inputs are singleton-dominated (HiFi-rate
+    errors corrupt most windows, so unique keys >> passing nodes — 4.4M vs
+    246k at bench shapes).  Everything after the big sort therefore scales
+    with PASSING nodes only: crossing rows are identified in place with two
+    run-length scans (distance-to-head == minab-1 and run length >= minab),
+    then compacted by a pass_cap-target binary search — no per-unique head
+    compaction, no node_cap-sized reorder sort.  node_cap is accepted for
+    API compatibility but unused.
 
     Node ids are assigned in CROSSING-occurrence order (the deterministic
     stand-in for the reference's thread-arrival-order atomic, and the order
@@ -150,12 +190,12 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
     import jax
     import jax.numpy as jnp
 
+    del node_cap
     if prefix_rows is not None:
         b_keys = b_keys[:prefix_rows]
         b_occ = b_occ[:prefix_rows]
     N = b_keys.shape[0]
-    node_cap = min(node_cap, N - 1)
-    pass_cap = min(pass_cap, node_cap)
+    pass_cap = min(pass_cap, N - 1)
     lo = b_keys[:, 0]
     hi = b_keys[:, 1]
     occ = b_occ
@@ -168,46 +208,37 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
     prev_lo = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), slo[:-1]])
     prev_hi = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), shi[:-1]])
     head = ((slo != prev_lo) | (shi != prev_hi)) & sval
-    csum = jnp.cumsum(head.astype(jnp.int32))
-    n_unique_all = csum[-1]
+    n_unique_all = head.sum().astype(jnp.int32)
 
-    # compact the first node_cap heads WITHOUT a second full-N sort: the
-    # position of the i-th head (1-based) is the first index where the
-    # inclusive head-count prefix reaches i — a binary search per output
-    # slot (node_cap * log N gathers, ~100x cheaper than sorting N rows of
-    # 20-byte payload; scatter at these sizes lowers to a serial loop on TPU)
-    targets = jnp.arange(1, node_cap + 2, dtype=jnp.int32)
-    hp_all = jnp.searchsorted(csum, targets).astype(jnp.int32)  # [cap+1], <=N
-    head_pos = hp_all[:node_cap]
-    next_head = hp_all[1:]
-    hp = jnp.minimum(head_pos, N - 1)
-    u_lo = slo[hp]
-    u_hi = shi[hp]
-    # segment of the last head ends at n_valid; a missing (i+1)-th head
-    # searches to N which the clamp folds back to n_valid.  Slots past
-    # n_unique_all clamp to zero-length segments -> count 0 -> never pass.
-    counts = (jnp.minimum(next_head, n_valid)
-              - jnp.minimum(head_pos, n_valid)).astype(jnp.uint32)
-    # crossing occurrence: (minab-1)-th element of the segment (clamped)
-    cross_sorted_idx = jnp.minimum(
-        head_pos.astype(jnp.uint32) + jnp.uint32(minab - 1), jnp.uint32(N - 1)
-    )
-    cross_occ = socc[cross_sorted_idx]
-    passing = counts >= minab
-    node_overflow = jnp.maximum(0, n_unique_all - node_cap)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+    # per-row position of its run's head (inclusive max-scan) and of the
+    # NEXT run's head (exclusive reverse min-scan); run length follows
+    headpos = _scan_max_i32(jnp.where(head, iota, -1))
+    nexth = jnp.where(head, iota, N)
+    nexth = _scan_min_i32_rev_excl(nexth, fill=N)
+    count_row = (jnp.minimum(nexth, n_valid) - headpos).astype(jnp.int32)
+    # a key's crossing row is the (minab-1)-th of its run, present iff the
+    # run reaches minab
+    crossing = sval & (iota - headpos == minab - 1) & (count_row >= minab)
+    ccum = jnp.cumsum(crossing.astype(jnp.int32))
+    n_pass = ccum[-1]
 
-    # compact passing nodes to the front (one more small sort) so the host
-    # fetches only a prefix, already in deterministic crossing order
-    ordkey = jnp.where(passing, cross_occ, jnp.uint32(0xFFFFFFFF))
-    n_pass = passing.sum().astype(jnp.int32)
-    cap_iota = jax.lax.broadcasted_iota(jnp.uint32, (node_cap, 1), 0)[:, 0]
+    # compact the first pass_cap crossing rows: binary search per output
+    # slot (pass_cap * log N gathers — pass_cap is ~20x smaller than the
+    # unique count on error-rate inputs)
+    targets = jnp.arange(1, pass_cap + 1, dtype=jnp.int32)
+    cpos = jnp.minimum(jnp.searchsorted(ccum, targets).astype(jnp.int32),
+                       N - 1)
+    u_lo = slo[cpos]
+    u_hi = shi[cpos]
+    counts = count_row[cpos].astype(jnp.uint32)
+    cross_occ = socc[cpos]
+
+    # deterministic crossing order: one pass_cap-sized sort by occurrence
+    ordkey = jnp.where(targets <= n_pass, cross_occ, jnp.uint32(0xFFFFFFFF))
+    cap_iota = jax.lax.broadcasted_iota(jnp.uint32, (pass_cap, 1), 0)[:, 0]
     _, order = jax.lax.sort((ordkey, cap_iota), num_keys=1)
-    # error-heavy inputs have singleton-dominated key spaces (node_cap can be
-    # 10-30x n_pass); gather vectors/metadata only for the passing prefix
-    # (pass_cap rows) AFTER the passing-first reorder, so the big per-node
-    # arrays scale with real nodes, not with unique keys
-    order_p = order[:pass_cap]
-    cross_occ_p = cross_occ[order_p]
+    cross_occ_p = cross_occ[order]
     # meta layout matches the window-carrying path: (seqlen, shift0|valid<<31,
     # shift1|rev<<31, start, global read row)
     gw = _gather_window_meta(b_mh, b_mp, cross_occ_p, k=k, M=M,
@@ -217,7 +248,7 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
         meta=gw[1], vec=gw[0],
         # one bundled scalar fetch (each np.asarray round-trips the relay)
         stats3=jnp.stack([n_pass, n_unique_all,
-                          jnp.maximum(node_overflow, n_pass - pass_cap)]),
+                          jnp.maximum(0, n_pass - pass_cap)]),
     )
     if emit_mpos:
         out["mpos"] = gw[2]
@@ -502,7 +533,10 @@ class DeviceNodeCounter:
         self.read_cap = read_cap
         self.window_cap = read_cap * self.W_slot
         self.node_cap = node_cap
-        self.pass_cap = min(node_cap, pass_cap or (1 << 22))
+        # pass_cap sizes everything after the finalize's big sort (the
+        # compaction binary search, the ordering sort, the meta/vec gathers);
+        # overflow re-runs once with a doubled cap, so start modest
+        self.pass_cap = min(node_cap, pass_cap or (1 << 19))
         self.minab = minab
         self.emit_overlap_keys = emit_overlap_keys
         self._jax = jax
@@ -605,16 +639,11 @@ class DeviceNodeCounter:
         n_pass, n_unique, node_overflow = (
             int(x) for x in np.asarray(out["stats3"]))
         while node_overflow > 0:
-            # adaptive capacity: each pass reports the exact unique count
-            # over the heads it saw (n_unique is global; n_pass only covers
-            # the first node_cap heads), so grow to fit and re-run — at most
-            # two extra rounds, and only on overflowing runs
-            while self.node_cap < n_unique:
-                self.node_cap *= 2
-            while self.pass_cap < min(max(n_pass, node_overflow),
-                                      self.node_cap):
+            # adaptive capacity: the pass-centric finalize reports the exact
+            # passing count, so grow pass_cap to fit and re-run — at most
+            # one extra round, and only on overflowing runs
+            while self.pass_cap < n_pass:
                 self.pass_cap *= 2
-            self.pass_cap = min(self.pass_cap, self.node_cap)
             fin = self._make_finalize(prefix_rows)
             out = fin(*self.buffers)
             n_pass, n_unique, node_overflow = (
@@ -639,7 +668,7 @@ class DeviceNodeCounter:
         cap2 = 1
         while cap2 < max(1, n_pass):
             cap2 <<= 1
-        cap2 = min(cap2, self.node_cap)
+        cap2 = min(cap2, self.pass_cap)
         res = {}
         for name in ("key_lo", "key_hi", "count", "meta", "vec", "gk",
                      "gflag", "mpos"):

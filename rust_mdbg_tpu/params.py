@@ -53,6 +53,8 @@ class Params:
     max_read_len: int = 0      # 0 = auto from input scan
     max_minimizers_per_read: int = 0  # 0 = auto (capacity of compacted tensor)
     chunk_reads: int = 0       # >0: force chunked >HBM counting (core/chunked.py)
+    ec_device_poa: bool = False  # batched device POA DP over lockstep chunks
+    ec_chunk: int = 32         # templates per lockstep chunk (device EC)
 
     @property
     def hash_bound(self) -> int:

@@ -123,7 +123,7 @@ def test_finalize_adaptive_node_cap():
     n_nodes = len(big["index"])
     assert n_nodes > 64
     small, c = run(16)           # forces repeated adaptive growth
-    assert c.node_cap >= n_nodes
+    assert c.pass_cap >= n_nodes  # pass-centric finalize grows pass_cap
     assert np.array_equal(small["key_lo"], big["key_lo"])
     assert np.array_equal(small["count"], big["count"])
     tiny_pass, _ = run(1 << 14, pass_cap=8)  # pass_cap-only overflow
