@@ -38,8 +38,9 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
 
     # optional scheme tables (traced args; see make_device_extractor):
     #   lmer:         (sorted packed-lmer keys u64 [T], remap values u64 [T])
-    #   filter_mode:  exact mode (preload u64 [P] sorted, seen u64 [S] sorted
-    #                 MAX-padded) — UHS/LCP check_and_add state; bloom mode
+    #   filter_mode:  exact mode (preload u64 [P] sorted, seen base u64 [S]
+    #                 sorted MAX-padded, delta u64 [D] sorted MAX-padded) —
+    #                 UHS/LCP check_and_add state; bloom mode
     #                 (bits u32 [m/32],) — the --bf filter's bit tensor
     ti = 0
     if lmer:
@@ -49,7 +50,8 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
         if filter_bloom:
             f_bits = tables[ti]
         else:
-            f_preload, f_seen = tables[ti], tables[ti + 1]
+            f_preload, f_seen, f_delta = (tables[ti], tables[ti + 1],
+                                          tables[ti + 2])
 
     B, L = codes.shape
     idx = jnp.arange(L, dtype=jnp.int32)
@@ -108,7 +110,7 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
             fstate_out = (new_bits, jnp.int32(0), jnp.zeros((), bool))
         else:
             sel, fstate_out = _stream_filter(
-                canon, sel, hpc_codes, f_preload, f_seen,
+                canon, sel, hpc_codes, f_preload, f_seen, f_delta,
                 l=l, skip_n=(filter_mode == "lcp"))
 
     # compact selected minimizers to [B, M] with a TWO-LEVEL sort: per-512
@@ -343,7 +345,7 @@ def _stream_filter_bloom(canon, sel, hpc_codes, bits, *,
     return keep.reshape(B, L), new_bits
 
 
-def _stream_filter(canon, sel, hpc_codes, preload, seen, *,
+def _stream_filter(canon, sel, hpc_codes, preload, seen, delta, *,
                    l: int, skip_n: bool):
     """UHS/LCP check_and_add selection (read.rs:125-156 / 93-124) as a
     data-parallel pass over one batch.
@@ -358,13 +360,21 @@ def _stream_filter(canon, sel, hpc_codes, preload, seen, *,
       keep = member(preload) | member(seen) | duplicate-of-earlier-in-batch
 
     where "earlier" is stream order (row-major position), computed with one
-    stable sort by (hash, stream index); the batch's first-occurrence
-    non-member hashes are merged into `seen` (sorted, MAX-padded).  Exact —
-    no ordering ambiguity, because batches arrive in read order.
+    stable sort by (hash, stream index).
 
-    Returns (sel', (new_seen, new_seen_n, state_overflow)).  On overflow the
-    caller must retry the SAME batch with a larger `seen` (the returned state
-    is truncated and must not be committed).
+    TWO-TIER state: `seen` is the big sorted base (merged rarely), `delta`
+    a small sorted buffer the batch's first-occurrence non-member hashes
+    merge into — so the per-batch re-sort touches |delta| + NL rows, not the
+    whole accumulated set (round-2 weakness: the single growing buffer made
+    every batch re-sort O(total distinct)).  When delta overflows, the
+    caller folds it into the base and retries.  Exact — no ordering
+    ambiguity, because batches arrive in read order.  (At genome scale
+    prefer --bf: _stream_filter_bloom has constant-size state and the
+    reference's own Bloom semantics.)
+
+    Returns (sel', (new_delta, new_delta_n, state_overflow)).  On overflow
+    the caller must retry the SAME batch after merging delta into the base
+    (the returned delta is truncated and must not be committed).
     """
     import jax
     import jax.numpy as jnp
@@ -394,16 +404,17 @@ def _stream_filter(canon, sel, hpc_codes, preload, seen, *,
     dup_sorted = scand & ~first
     dup = jnp.zeros((NL,), bool).at[si].set(dup_sorted)
 
-    mem = member(preload, hf) | member(seen, hf)
+    mem = member(preload, hf) | member(seen, hf) | member(delta, hf)
     keep = cand & (mem | dup)
 
     # inserts: first in-batch occurrence of each candidate hash not already
-    # in the set; merge into the sorted MAX-padded seen buffer
-    ins_sorted = scand & first & ~(member(preload, sk) | member(seen, sk))
+    # in the set; merge into the small sorted MAX-padded delta buffer
+    ins_sorted = scand & first & ~(member(preload, sk) | member(seen, sk)
+                                   | member(delta, sk))
     ins_keys = jnp.where(ins_sorted, sk, maxu)
-    merged = jnp.sort(jnp.concatenate([seen, ins_keys]))
+    merged = jnp.sort(jnp.concatenate([delta, ins_keys]))
     new_n = (merged != maxu).sum().astype(jnp.int32)
-    S = seen.shape[0]
+    S = delta.shape[0]
     overflow = new_n > S
     return keep.reshape(B, L), (merged[:S], new_n, overflow)
 
@@ -557,6 +568,10 @@ class DeviceExtractor:
             self._seen = jnp.full((self._seen_cap,), ~np.uint64(0),
                                   dtype=jnp.uint64)
             self.seen_n = 0
+            self._delta_cap = 1 << 14
+            self._delta = jnp.full((self._delta_cap,), ~np.uint64(0),
+                                   dtype=jnp.uint64)
+            self.delta_n = 0
             self._m_mult = 1  # M growth factor (filter mode re-runs batches)
 
     def _fn(self, B, L, M, compact=False):
@@ -624,16 +639,34 @@ class DeviceExtractor:
         if self._filter_bloom:
             extra += (self._bits,)
         elif self.filter_mode is not None:
-            extra += (self._preload, self._seen)
+            extra += (self._preload, self._seen, self._delta)
         return extra
 
-    def _grow_seen(self):
+    def _merge_delta(self):
+        """Fold the committed delta into the sorted base (growing the base
+        to the next power of two when needed) and reset the delta.  Called
+        on delta overflow — rare, so the big base re-sort is amortized over
+        ~delta_cap inserts.  A delta too small for ONE batch's inserts
+        doubles instead."""
         import jax.numpy as jnp
 
-        self._seen_cap *= 2
-        pad = jnp.full((self._seen_cap - self._seen.shape[0],),
+        if self.delta_n == 0:
+            self._delta_cap *= 2
+            self._delta = jnp.full((self._delta_cap,), ~np.uint64(0),
+                                   dtype=jnp.uint64)
+            return
+        need = self.seen_n + self.delta_n
+        while self._seen_cap < need:
+            self._seen_cap *= 2
+        pad = jnp.full((self._seen_cap - self._seen.shape[0]
+                        + self._delta.shape[0],),
                        ~np.uint64(0), dtype=jnp.uint64)
-        self._seen = jnp.concatenate([self._seen, pad])
+        self._seen = jnp.sort(jnp.concatenate(
+            [self._seen, self._delta, pad]))[: self._seen_cap]
+        self.seen_n = need
+        self._delta = jnp.full((self._delta_cap,), ~np.uint64(0),
+                               dtype=jnp.uint64)
+        self.delta_n = 0
 
     def extract_device(self, codes, lengths):
         """Raw device-side compact extraction: returns the device dict
@@ -770,7 +803,7 @@ class DeviceExtractor:
                                     *self._extra_args())
             new_state, new_n, state_over = out["fstate"]
             if not self._filter_bloom and bool(np.asarray(state_over)):
-                self._grow_seen()
+                self._merge_delta()
                 continue
             if np.asarray(out["overflow"]).any():
                 if M < L:
@@ -783,8 +816,8 @@ class DeviceExtractor:
             if self._filter_bloom:
                 self._bits = new_state
             else:
-                self._seen = new_state
-                self.seen_n = int(np.asarray(new_n))
+                self._delta = new_state
+                self.delta_n = int(np.asarray(new_n))
             return out
 
 

@@ -80,7 +80,7 @@ def test_device_uhs_matches_host(tmp_path):
         (None, uhs_preparation(p, str(uhs_file)), None),
         (None, uhs_preparation(p, str(uhs_file)), None))
     assert n > 0
-    assert dev.seen_n > 0  # the stream filter really accumulated state
+    assert dev.seen_n + dev.delta_n > 0  # filter accumulated state
 
 
 def test_device_lcp_matches_host_with_n_bases(tmp_path):
@@ -161,18 +161,23 @@ def test_device_uhs_full_pipeline_gfa_identical(tmp_path):
     assert "S\t" in gh
 
 
-def test_device_filter_seen_growth(tmp_path):
-    """Tiny initial seen capacity forces the grow-and-retry path; results
-    must still match the host oracle exactly."""
+def test_device_filter_delta_merge(tmp_path):
+    """Delta overflow forces the merge-into-base-and-retry path (the
+    two-tier seen state); results must still match the host oracle.
+
+    l=13 keeps the candidate hash space unsaturated, so each 16-read batch
+    inserts ~8-9k fresh hashes: batch 0 fits the default 16k delta, batch 1
+    overflows it with a committed delta -> merge into the (tiny) base,
+    which must grow, then the retry succeeds."""
     rng = np.random.default_rng(23)
     reads = str(tmp_path / "r.fa")
     _synth_fasta(reads, rng, n_reads=32, length=4000)
-    p = Params(k=4, l=9, density=0.1, engine="device", lcp=True)
+    p = Params(k=4, l=13, density=0.1, engine="device", lcp=True)
     dev = make_device_extractor(p, None, None, CheckAndAddFilter())
-    dev._seen_cap = 64
     import jax.numpy as jnp
 
-    dev._seen = jnp.full((64,), ~np.uint64(0), dtype=jnp.uint64)
+    dev._seen_cap = 128
+    dev._seen = jnp.full((128,), ~np.uint64(0), dtype=jnp.uint64)
     host_f = CheckAndAddFilter()
     for i, batch in enumerate(fastx.batches(reads, 16, 4096)):
         wb_h = extract_windows_host(batch, p, None, None, host_f)
@@ -180,7 +185,8 @@ def test_device_filter_seen_growth(tmp_path):
         assert_wb_equal(wb_h, wb_d)
         if i >= 1:
             break
-    assert dev._seen_cap > 64
+    assert dev.seen_n > 0        # at least one delta merge happened
+    assert dev._seen_cap > 128   # and the base grew to fit
 
 
 def test_device_uhs_bloom_matches_host(tmp_path):
