@@ -121,6 +121,7 @@ def main():
     counter = DeviceNodeCounter(
         k=p.k, M=M, read_cap=n_reads, node_cap=1 << 23, minab=2,
         w_slot=W_slot, emit_overlap_keys=minimizer_recompute_ok(p),
+        mpos_u16=L <= 65535,
     )
     construct = make_fused_construct(p, B, L, M, n_batches, w_slot=W_slot)
 
@@ -169,50 +170,69 @@ def main():
 
     from rust_mdbg_tpu.core.device_out import PhasedEmitter
 
-    # phased emission: after an early slice of the batches, a prefix
-    # finalize identifies the nodes that already crossed min_abundance
-    # (at 52x coverage that is ~99% of all nodes by ~20% of the reads);
-    # their .sequences records and GFA index rows are emitted by the host
-    # WHILE the device counts the remaining batches.  Node ids are global
-    # crossing order, so phase ranges concatenate exactly (ops/sort_count).
-    n1 = max(1, min(n_batches - 1,
-                    int(n_batches
-                        * float(os.environ.get("MDBG_BENCH_PHASE1", "0.22")))))
-    prefix1 = n1 * B * W_slot
+    # phased emission: at several batch boundaries, a prefix finalize
+    # identifies the nodes that already crossed min_abundance; their
+    # .sequences records and GFA index rows are emitted by the host WHILE
+    # the device counts later batches.  Node ids are global crossing order,
+    # so phase ranges concatenate exactly (ops/sort_count).  Error-rate
+    # corpora cross later than clean ones (fewer clean copies per node), so
+    # several phases spread the emission work across the whole loop.
+    fracs = [float(x) for x in os.environ.get(
+        "MDBG_BENCH_PHASES", "0.24").split(",")]
+    bounds = sorted({max(1, min(n_batches - 1, int(n_batches * f)))
+                     for f in fracs}) + [n_batches]
 
     def run_once():
-        """One full construction: phase-1 fused loop -> prefix finalize
-        (emission overlaps the phase-2 loop) -> full finalize -> tail
-        emission.  Returns (timings, stats)."""
+        """Multi-phase construction: per segment, dispatch the fused loop,
+        resolve the PREVIOUS segment's prefix finalize while the loop runs,
+        emit its new nodes, then dispatch this segment's finalize.  Returns
+        (timings, stats)."""
         t0 = time.perf_counter()
-        bufs, _nf, over1 = construct(all_codes, all_lengths, counter.buffers,
-                                     0, 0, n1)
-        counter.buffers = bufs
-        # enqueue the prefix finalize AND the remaining construct before
-        # blocking on the finalize stats: the in-order device queue runs
-        # them back to back while the host starts phase-1 emission
-        out1 = counter.finalize_dispatch(prefix_rows=prefix1)
-        bufs, _nf, over2 = construct(all_codes, all_lengths, counter.buffers,
-                                     0, n1, n_batches)
-        counter.buffers = bufs
-        ph1 = counter.finalize_resolve(out1, lazy=True, prefix_rows=prefix1)
         em = PhasedEmitter(prefix, p, reads_ascii, row_off,
-                           cap_hint=1 << 18)
-        em.emit_phase(ph1)  # writers + km_index build under the phase-2 loop
-        t_emit1 = time.perf_counter() - t0
-        n_over = int(np.asarray(over1)) + int(np.asarray(over2))
+                           cap_hint=1 << 18, accel=12)
+        overs = []
+        pending = None   # (finalize_dispatch result, prefix_rows)
+        row_lo = 0
+        prev = 0
+        t_emit1 = 0.0
+        for hi in bounds:
+            bufs, _nf, ov = construct(all_codes, all_lengths,
+                                      counter.buffers, 0, prev, hi)
+            counter.buffers = bufs
+            overs.append(ov)
+            if pending is not None:
+                out_p, pr = pending
+                ph = counter.finalize_resolve(out_p, lazy=True,
+                                              prefix_rows=pr, row_lo=row_lo)
+                em.emit_phase(ph)
+                row_lo = ph.n_pass
+                if t_emit1 == 0.0:
+                    t_emit1 = time.perf_counter() - t0
+            if hi < n_batches:
+                pr = hi * B * W_slot
+                pending = (counter.finalize_dispatch(prefix_rows=pr), pr)
+            prev = hi
+        n_over = sum(int(np.asarray(o)) for o in overs)
         t_loop = time.perf_counter() - t0
-        nodes = counter.finalize(lazy=True, row_lo=ph1.n_pass)
+        nodes = counter.finalize(lazy=True, row_lo=row_lo)
         t_construct = time.perf_counter() - t0
         assert n_over == 0, f"{n_over} reads overflowed minimizer capacity"
         t_host0 = time.perf_counter()
+        nodes.prefetch_full("count")  # rides the relay under tail emission
         em.emit_phase(nodes)
+        t_tail_emit = time.perf_counter() - t_host0
         counts = nodes.fetch_full("count")
+        t_counts = time.perf_counter() - t_host0 - t_tail_emit
         g = em.finish(counts)
         n_windows = int(counts.sum())
         n_uniq = int(np.asarray(nodes._out["stats3"])[1])
         t_seqw = time.perf_counter() - t_host0
         t1 = time.perf_counter()
+        if os.environ.get("MDBG_BENCH_DETAIL"):
+            print(f"# tail: n_tail={nodes.n_new} emit_phase={t_tail_emit:.3f}"
+                  f" counts={t_counts:.3f}"
+                  f" finish+join={t_seqw - t_tail_emit - t_counts:.3f}",
+                  file=sys.stderr)
         return dict(wall=t1 - t0, loop=t_loop, construct=t_construct,
                     seqw=t_seqw, emit1=t_emit1), g, n_windows, n_uniq
 

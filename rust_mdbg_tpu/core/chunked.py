@@ -122,6 +122,7 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
         minab=params.min_kmer_abundance, w_slot=W_slot,
         chunk_slots=(1 if params.reference
                      else min(params.min_kmer_abundance, MAX_CHUNK_SLOTS)),
+        mpos_u16=L <= 65535,
     )
     packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack); L is 512-aligned
     # L carries 2x headroom over the sampled max read length (reads longer

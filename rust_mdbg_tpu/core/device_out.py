@@ -123,9 +123,30 @@ class LazyNodes:
         return np.asarray(self._slice(self._out[name]))[
             : self.n_pass - self._lo_r()][trim:]
 
+    def prefetch_full(self, name: str) -> None:
+        """Start the device->host copy of fetch_full(name) now, so it rides
+        the relay while the caller does other host work (e.g. the final
+        counts fetch starting under the tail .sequences emission)."""
+        if not hasattr(self, "_full"):
+            self._full = {}
+        if name in self._full:
+            return
+        cap2 = 1
+        while cap2 < max(1, self.n_pass):
+            cap2 <<= 1
+        arr = self._out[name]
+        sl = arr[: min(cap2, arr.shape[0])]
+        try:
+            sl.copy_to_host_async()
+        except Exception:
+            pass
+        self._full[name] = sl
+
     def fetch_full(self, name: str) -> np.ndarray:
         """Host array for ALL rows [0, n_pass) regardless of row_lo (the
         whole-run abundance fetch at finish time)."""
+        if hasattr(self, "_full") and name in self._full:
+            return np.asarray(self._full[name])[: self.n_pass]
         cap2 = 1
         while cap2 < max(1, self.n_pass):
             cap2 <<= 1

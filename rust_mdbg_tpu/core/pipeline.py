@@ -303,6 +303,7 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
         k=params.k, M=M, read_cap=read_cap, node_cap=1 << 22,
         minab=params.min_kmer_abundance, w_slot=W_slot,
         emit_overlap_keys=minimizer_recompute_ok(params),
+        mpos_u16=L <= 65535,
     )
     packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack)
     construct = make_fused_construct(params, B, L, M, CHUNK_BATCHES,
@@ -418,6 +419,7 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     with timer.phase("sequences+gfa"):
         from .device_out import emit_device_outputs
 
+        nodes.prefetch_full("count")  # rides the relay under tail emission
         if "em" in phase:
             em = phase["em"]
             em.emit_phase(nodes, reads_buf=blob, row_off=row_off)

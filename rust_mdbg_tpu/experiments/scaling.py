@@ -48,11 +48,15 @@ def synth(path: str, seed: int = 5) -> int:
 def run_mesh(reads: str, n: int) -> dict:
     """One assemble_sharded run in a fresh process (clean device config)."""
     code = f"""
-import json, time, sys
+import json, time, sys, os
 sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", {n})
+cache = os.path.expanduser("~/.cache/rust_mdbg_tpu/jax")
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from rust_mdbg_tpu.params import Params
 from rust_mdbg_tpu.parallel.pipeline import assemble_sharded
 p = Params(k=12, l=12, density=0.003, min_kmer_abundance=2,
@@ -74,37 +78,52 @@ print(json.dumps(dict(n={n}, wall_s=round(t2 - t1, 2),
 
 
 def run_multihost(reads: str) -> dict | None:
-    """2-process jax.distributed flow (one CPU device per process)."""
+    """2-process jax.distributed flow (one CPU device per process).  Two
+    back-to-back assemblies in the SAME processes: the second is the warm
+    wall (comparable to the mesh rows' warm wall — the first pays each
+    process's independent XLA compiles)."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     procs = []
     t0 = time.perf_counter()
     for pid in range(2):
         code = f"""
-import sys
+import sys, os, time
 sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})
+import jax
+cache = os.path.expanduser("~/.cache/rust_mdbg_tpu/jax")
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from rust_mdbg_tpu.params import Params
 from rust_mdbg_tpu.parallel.multihost import assemble_multihost, init_distributed
 init_distributed("localhost:9777", 2, {pid})
 p = Params(k=12, l=12, density=0.003, min_kmer_abundance=2,
            engine="device", batch_reads=16)
+t0 = time.perf_counter()
 stats = assemble_multihost({reads!r}, p, {reads!r} + ".mh")
+t1 = time.perf_counter()
+stats = assemble_multihost({reads!r}, p, {reads!r} + ".mh")
+t2 = time.perf_counter()
+print("WALLS", round(t1 - t0, 2), round(t2 - t1, 2))
 print("NODES", stats.get("nb_nodes"), "EDGES", stats.get("nb_edges"))
 """
         procs.append(subprocess.Popen([sys.executable, "-c", code], env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT))
     outs = [p.communicate(timeout=3000)[0].decode() for p in procs]
-    wall = time.perf_counter() - t0
     for p, out in zip(procs, outs):
         if p.returncode != 0:
             print("multihost failed:", out[-1500:], file=sys.stderr)
             return None
     nodes = edges = -1
+    cold = warm = None
     for out in outs:
         for line in out.splitlines():
             if line.startswith("NODES") and "None" not in line:
                 nodes, edges = int(line.split()[1]), int(line.split()[3])
-    return dict(n="2 hosts", wall_s=round(wall, 2), wall_cold_s=None,
+            if line.startswith("WALLS"):
+                cold, warm = float(line.split()[1]), float(line.split()[2])
+    return dict(n="2 hosts", wall_s=warm, wall_cold_s=cold,
                 nodes=nodes, edges=edges)
 
 

@@ -126,21 +126,25 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
     if L % 512 == 0 and L > 2048:
         C = _chunk_slot_capacity(hash_bound)
         nch = L // 512
-        iot = jax.lax.broadcasted_iota(jnp.int32, (B * nch, 512), 1)
+        # u16 keys/payloads when positions fit (L < 2^16): the bitonic
+        # passes move half the bytes of the i32 variant
+        pdt = jnp.uint16 if L < (1 << 16) else jnp.int32
+        iot = jax.lax.broadcasted_iota(pdt, (B * nch, 512), 1)
         selc = sel.reshape(B * nch, 512)
         posc = (
-            iot + (jnp.arange(B * nch, dtype=jnp.int32) % nch)[:, None] * 512
+            iot + ((jnp.arange(B * nch, dtype=jnp.int32) % nch)
+                   .astype(pdt))[:, None] * pdt(512)
         )
-        ck = jnp.where(selc, iot, jnp.int32(512))
+        ck = jnp.where(selc, iot, pdt(512))
         sck, cpos = jax.lax.sort((ck, posc), num_keys=1, dimension=1)
-        cval = jnp.where(sck == jnp.int32(512), jnp.int32(L), cpos)
+        cval = jnp.where(sck == pdt(512), pdt(L), cpos)
         # re-sort carries only the first C slots per chunk
         lvl2 = cval[:, :C].reshape(B, nch * C)
         l2s = jax.lax.sort(lvl2, dimension=1)
         if nch * C < M:
             l2s = jnp.concatenate(
-                [l2s, jnp.full((B, M - nch * C), L, dtype=jnp.int32)], axis=1)
-        perm_m = jnp.minimum(l2s[:, :M], L - 1)
+                [l2s, jnp.full((B, M - nch * C), L, dtype=pdt)], axis=1)
+        perm_m = jnp.minimum(l2s[:, :M].astype(jnp.int32), L - 1)
         # chunk overflow: selected count in some chunk exceeded C
         chunk_over = (selc.sum(axis=1, dtype=jnp.int32) > C).reshape(
             B, nch).any(axis=1)

@@ -158,7 +158,8 @@ def _scan_min_i32_rev_excl(x, fill: int):
 
 
 def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
-                      node_cap, pass_cap, emit_mpos=False, prefix_rows=None):
+                      node_cap, pass_cap, emit_mpos=False, prefix_rows=None,
+                      mpos_u16=False):
     """Sort + segment-reduce for the single-chip compact layout.
 
     b_keys [read_cap*W_slot, 2] batch-compacted (valid windows packed to the
@@ -242,7 +243,7 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
     # meta layout matches the window-carrying path: (seqlen, shift0|valid<<31,
     # shift1|rev<<31, start, global read row)
     gw = _gather_window_meta(b_mh, b_mp, cross_occ_p, k=k, M=M,
-                             with_record_pos=emit_mpos)
+                             with_record_pos=emit_mpos, pos_u16=mpos_u16)
     out = dict(
         key_lo=u_lo[order], key_hi=u_hi[order], count=counts[order],
         meta=gw[1], vec=gw[0],
@@ -342,7 +343,8 @@ def _finalize_chunk(b_keys, b_occ, *, node_cap, slots=2):
     )
 
 
-def _gather_window_meta(b_mh, b_mp, occs, *, k, M, with_record_pos=False):
+def _gather_window_meta(b_mh, b_mp, occs, *, k, M, with_record_pos=False,
+                        pos_u16=False):
     """Reconstruct (canonical vec, seqlen, shift0, shift1, rev, start, row)
     for a list of window occurrences (chunk-local), gathering k-slices from
     the compact per-read minimizer rows — shared by the whole-run finalize
@@ -387,7 +389,12 @@ def _gather_window_meta(b_mh, b_mp, occs, *, k, M, with_record_pos=False):
     # offset r starts at span - r
     rel = pos_f - pos_f[:, :1]
     mpos = jnp.where(rev[:, None], rel[:, -1:] - rel[:, ::-1], rel)
-    return canon_vec, meta, mpos.astype(jnp.uint32)
+    # pos_u16: record-relative positions fit u16 whenever the staged read
+    # width L <= 65535 (callers gate on that) — halves the device->host
+    # bytes of the dominant per-node transfer (k positions/node); the host
+    # writer widens back to u32 on ingest
+    return canon_vec, meta, mpos.astype(jnp.uint16 if pos_u16
+                                        else jnp.uint32)
 
 
 def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
@@ -521,7 +528,7 @@ class DeviceNodeCounter:
     def __init__(self, k: int, M: int, read_cap: int, node_cap: int,
                  minab: int, pass_cap: int | None = None,
                  w_slot: int | None = None, emit_overlap_keys: bool = False,
-                 chunk_slots: int = 2):
+                 chunk_slots: int = 2, mpos_u16: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -539,6 +546,8 @@ class DeviceNodeCounter:
         self.pass_cap = min(node_cap, pass_cap or (1 << 19))
         self.minab = minab
         self.emit_overlap_keys = emit_overlap_keys
+        # u16 record positions (only when the caller's staged width fits)
+        self.mpos_u16 = mpos_u16
         self._jax = jax
         # sentinel-filled keys: untouched tail rows drop out in finalize
         self.buffers = (
@@ -559,7 +568,8 @@ class DeviceNodeCounter:
 
         def gather_keys(b_mh, b_mp, occs):
             vec, meta, mpos = _gather_window_meta(b_mh, b_mp, occs, k=k, M=M,
-                                                  with_record_pos=True)
+                                                  with_record_pos=True,
+                                                  pos_u16=mpos_u16)
             gk, gflag = _overlap_keys_device(vec)
             return gk, gflag, meta, mpos
 
@@ -575,6 +585,7 @@ class DeviceNodeCounter:
                 _finalize_compact, k=self.k, M=self.M, minab=self.minab,
                 node_cap=self.node_cap, pass_cap=self.pass_cap,
                 emit_mpos=self.emit_overlap_keys, prefix_rows=prefix_rows,
+                mpos_u16=self.mpos_u16,
             ))
             self._finalize_cache[key] = fn
         return fn
