@@ -189,7 +189,7 @@ def main():
         (timings, stats)."""
         t0 = time.perf_counter()
         em = PhasedEmitter(prefix, p, reads_ascii, row_off,
-                           cap_hint=1 << 18, accel=12)
+                           cap_hint=1 << 18, accel=12, device_join=True)
         overs = []
         pending = None   # (finalize_dispatch result, prefix_rows)
         row_lo = 0
@@ -203,7 +203,8 @@ def main():
             if pending is not None:
                 out_p, pr = pending
                 ph = counter.finalize_resolve(out_p, lazy=True,
-                                              prefix_rows=pr, row_lo=row_lo)
+                                              prefix_rows=pr, row_lo=row_lo,
+                                              gk_mode="none")
                 em.emit_phase(ph)
                 row_lo = ph.n_pass
                 if t_emit1 == 0.0:
@@ -214,16 +215,18 @@ def main():
             prev = hi
         n_over = sum(int(np.asarray(o)) for o in overs)
         t_loop = time.perf_counter() - t0
-        nodes = counter.finalize(lazy=True, row_lo=row_lo)
+        nodes = counter.finalize(lazy=True, row_lo=row_lo,
+                                 gk_mode="device")
         t_construct = time.perf_counter() - t0
         assert n_over == 0, f"{n_over} reads overflowed minimizer capacity"
         t_host0 = time.perf_counter()
         nodes.prefetch_full("count")  # rides the relay under tail emission
+        pot = counter.edge_join(nodes)  # device join + async POT fetch
         em.emit_phase(nodes)
         t_tail_emit = time.perf_counter() - t_host0
         counts = nodes.fetch_full("count")
         t_counts = time.perf_counter() - t_host0 - t_tail_emit
-        g = em.finish(counts)
+        g = em.finish(counts, pot=pot)
         n_windows = int(counts.sum())
         n_uniq = int(np.asarray(nodes._out["stats3"])[1])
         t_seqw = time.perf_counter() - t_host0

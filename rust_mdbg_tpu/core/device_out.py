@@ -52,7 +52,8 @@ class LazyNodes:
     """
 
     def __init__(self, out: dict, n_pass: int, chunk_rows: int = 16384,
-                 want_vec: bool = True, row_lo: int = 0):
+                 want_vec: bool = True, row_lo: int = 0,
+                 want_gk: bool = True):
         self._out = out
         self.n_pass = n_pass
         # phased emission: rows [0, row_lo) were already emitted by an
@@ -77,9 +78,11 @@ class LazyNodes:
             except Exception:
                 pass
         # the fingerprint array is fetched in chunks so the per-chunk GFA
-        # S-line/index build overlaps the next chunk's transfer
+        # S-line/index build overlaps the next chunk's transfer.
+        # want_gk=False: the device edge join consumes gk in place — no host
+        # staging (the POT list crosses instead, ops/edge_join.py)
         self._gk_chunks = []
-        if "gk" in out:
+        if "gk" in out and want_gk:
             c = max(8192, chunk_rows // 2)
             for row0 in range(self._lo_r(), n_pass, c):
                 sl = out["gk"][row0 : row0 + c]
@@ -290,7 +293,7 @@ class PhasedEmitter:
 
     def __init__(self, prefix, params, reads_buf, row_start_offsets,
                  no_basespace: bool = False, cap_hint: int = 0,
-                 accel: int = 2):
+                 accel: int = 2, device_join: bool = False):
         from ..core.graph import IncrementalGFA
 
         self.prefix = prefix
@@ -299,12 +302,16 @@ class PhasedEmitter:
         self.row_off = row_start_offsets
         self.no_basespace = no_basespace
         self.accel = accel
+        # device_join: edges arrive as a device-joined POT list at finish
+        # (ops/edge_join); phases feed no fingerprints and build no km_index
+        self.device_join = device_join
         self.gfa = IncrementalGFA(cap_hint=cap_hint, defer_abundance=True)
         self.writers: list[threading.Thread] = []
         self.errors: list[BaseException] = []
         self.shard = 0
         self.id_base = 0
         self._phases: list[tuple] = []  # fallback state (gate violation)
+        self._meta_parts: list[tuple] = []  # (seqlen32, shift0, shift1)
 
     def _write(self, *a, **kw):
         from ..io.sequences import write_records_native
@@ -353,27 +360,51 @@ class PhasedEmitter:
                 self.writers.append(t)
                 self.shard += 1
 
-        # fingerprint fetch + km_index build, overlapped with the writer
-        # threads; chunked so the build rides under the next transfer
-        gflag = nodes.fetch("gflag")
-        for row0, gk in nodes.gk_chunks():
-            hi = row0 + len(gk)
-            Fs, Fp, FsR, FpR = gk[:, 0:2], gk[:, 2:4], gk[:, 4:6], gk[:, 6:8]
-            gf = gflag[row0:hi]
-            key_suf = np.where((gf & 1).astype(bool)[:, None], Fs, FsR)
-            key_pre = np.where((gf & 2).astype(bool)[:, None], Fp, FpR)
-            self.gfa.add_chunk(index[row0:hi], np.zeros(hi - row0, np.uint32),
-                               seqlen32[row0:hi], shift0[row0:hi],
-                               shift1[row0:hi],
-                               (Fs, Fp, FsR, FpR, key_suf, key_pre))
+        if self.device_join:
+            # keys stay on device: one keys-free feed (S-line data only);
+            # finish receives the POT list
+            self.gfa.add_chunk(index, np.zeros(n, np.uint32), seqlen32,
+                               shift0, shift1, None)
+            self._meta_parts.append((seqlen32, shift0, shift1))
+        else:
+            # fingerprint fetch + km_index build, overlapped with the writer
+            # threads; chunked so the build rides under the next transfer
+            gflag = nodes.fetch("gflag")
+            for row0, gk in nodes.gk_chunks():
+                hi = row0 + len(gk)
+                Fs, Fp = gk[:, 0:2], gk[:, 2:4]
+                FsR, FpR = gk[:, 4:6], gk[:, 6:8]
+                gf = gflag[row0:hi]
+                key_suf = np.where((gf & 1).astype(bool)[:, None], Fs, FsR)
+                key_pre = np.where((gf & 2).astype(bool)[:, None], Fp, FpR)
+                self.gfa.add_chunk(index[row0:hi],
+                                   np.zeros(hi - row0, np.uint32),
+                                   seqlen32[row0:hi], shift0[row0:hi],
+                                   shift1[row0:hi],
+                                   (Fs, Fp, FsR, FpR, key_suf, key_pre))
         self._phases.append((nodes, index, abs_start, abs_end, rev,
                              shift0, shift1, rb))
 
-    def finish(self, counts: np.ndarray) -> dict:
+    def finish(self, counts: np.ndarray, pot=None) -> dict:
         """counts: whole-run abundances for ALL emitted nodes, in id order
-        (= global crossing order = the per-phase feed order concatenated)."""
+        (= global crossing order = the per-phase feed order concatenated).
+
+        pot: an ops.sort_count.PotJoin handle when device_join is on (its
+        transfers ride the relay under the tail emission; resolve() blocks
+        here).  None from edge_join, or resolve() returning None
+        (G_SLOTS group overflow), falls back to the host km_index join with
+        a full fingerprint fetch from the final finalize (covers all ids)."""
         self.gfa.set_abundance(counts)
-        g = self.gfa.finish(f"{self.prefix}.gfa", presimp=self.params.presimp)
+        if self.device_join:
+            arrays = pot.resolve() if pot is not None else None
+            if arrays is not None:
+                g = self.gfa.finish_pot(f"{self.prefix}.gfa",
+                                        self.params.presimp, *arrays)
+            else:
+                g = self._finish_host_join(counts)
+        else:
+            g = self.gfa.finish(f"{self.prefix}.gfa",
+                                presimp=self.params.presimp)
         for t in self.writers:
             t.join()
         if self.errors:
@@ -384,6 +415,30 @@ class PhasedEmitter:
                 ".sequences shards from device vectors")
             self._rewrite_from_vec()
         return g
+
+    def _finish_host_join(self, counts: np.ndarray) -> dict:
+        """Rare fallback when a key group exceeds the device join's G_SLOTS
+        cap (very deep repeats): fetch the FINAL finalize's fingerprints for
+        all ids and run the host km_index join on a fresh builder.  The
+        original builder (keys-free) is discarded."""
+        from ..core.graph import IncrementalGFA
+
+        self.gfa.abort()
+        final = self._phases[-1][0]
+        gk = final.fetch_full("gk")
+        gflag = final.fetch_full("gflag")
+        n = len(counts)
+        gk, gflag = gk[:n], gflag[:n]
+        Fs, Fp, FsR, FpR = gk[:, 0:2], gk[:, 2:4], gk[:, 4:6], gk[:, 6:8]
+        key_suf = np.where((gflag & 1).astype(bool)[:, None], Fs, FsR)
+        key_pre = np.where((gflag & 2).astype(bool)[:, None], Fp, FpR)
+        seqlen = np.concatenate([m[0] for m in self._meta_parts])
+        shift0 = np.concatenate([m[1] for m in self._meta_parts])
+        shift1 = np.concatenate([m[2] for m in self._meta_parts])
+        g = IncrementalGFA(cap_hint=n)
+        g.add_chunk(np.arange(n, dtype=np.uint32), counts[:n], seqlen,
+                    shift0, shift1, (Fs, Fp, FsR, FpR, key_suf, key_pre))
+        return g.finish(f"{self.prefix}.gfa", presimp=self.params.presimp)
 
     def _rewrite_from_vec(self):
         """Correctness fallback for a recompute-gate violation: fetch the

@@ -85,6 +85,11 @@ class IncrementalGFA:
         self._lib.gfa_finish.restype = ctypes.c_int64
         self._lib.gfa_finish.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_void_p]
+        self._lib.gfa_finish_pot.restype = ctypes.c_int64
+        self._lib.gfa_finish_pot.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p]
         self._lib.gfa_abort.restype = None
         self._lib.gfa_abort.argtypes = [ctypes.c_void_p]
         self._lib.gfa_defer_s.restype = None
@@ -109,26 +114,32 @@ class IncrementalGFA:
             self._h, ab.ctypes.data_as(self._ctypes.c_void_p), len(ab))
 
     def add_chunk(self, index, abundance, seqlen, shift0, shift1, keys6):
+        """keys6=None: keys-free feeding — the edge join runs on device
+        (ops/edge_join.py) and arrives via finish_pot; no km_index here."""
         import numpy as np
 
-        Fs, Fp, FsR, FpR, key_suf, key_pre = keys6
         arrs = [
             np.ascontiguousarray(index, dtype=np.uint32),
             np.ascontiguousarray(abundance, dtype=np.uint32),
             np.ascontiguousarray(seqlen, dtype=np.uint32),
             np.ascontiguousarray(shift0, dtype=np.uint16),
             np.ascontiguousarray(shift1, dtype=np.uint16),
-            np.ascontiguousarray(Fs, dtype=np.uint64),
-            np.ascontiguousarray(Fp, dtype=np.uint64),
-            np.ascontiguousarray(FsR, dtype=np.uint64),
-            np.ascontiguousarray(FpR, dtype=np.uint64),
-            np.ascontiguousarray(key_suf, dtype=np.uint64),
-            np.ascontiguousarray(key_pre, dtype=np.uint64),
         ]
+        if keys6 is not None:
+            Fs, Fp, FsR, FpR, key_suf, key_pre = keys6
+            arrs += [
+                np.ascontiguousarray(Fs, dtype=np.uint64),
+                np.ascontiguousarray(Fp, dtype=np.uint64),
+                np.ascontiguousarray(FsR, dtype=np.uint64),
+                np.ascontiguousarray(FpR, dtype=np.uint64),
+                np.ascontiguousarray(key_suf, dtype=np.uint64),
+                np.ascontiguousarray(key_pre, dtype=np.uint64),
+            ]
         n = len(arrs[0])
-        self._lib.gfa_add_chunk(
-            self._h, n,
-            *[a.ctypes.data_as(self._ctypes.c_void_p) for a in arrs])
+        ptrs = [a.ctypes.data_as(self._ctypes.c_void_p) for a in arrs]
+        if keys6 is None:
+            ptrs += [None] * 6
+        self._lib.gfa_add_chunk(self._h, n, *ptrs)
         self.n_nodes += n
 
     def finish(self, path, presimp: float) -> dict:
@@ -138,6 +149,27 @@ class IncrementalGFA:
         self._h = None
         if nb < 0:
             raise RuntimeError(f"gfa_finish failed for {path}")
+        return dict(nb_nodes=self.n_nodes, nb_edges=int(nb),
+                    presimp_removed=int(removed.value))
+
+    def finish_pot(self, path, presimp: float, pot_i, pot_j, pot_c) -> dict:
+        """Finish from a device-joined POT candidate list (ops/edge_join):
+        applies presimp + the symmetric-drop rule and writes the file."""
+        import numpy as np
+
+        pot_i = np.ascontiguousarray(pot_i, dtype=np.uint32)
+        pot_j = np.ascontiguousarray(pot_j, dtype=np.uint32)
+        pot_c = np.ascontiguousarray(pot_c, dtype=np.uint32)
+        removed = self._ctypes.c_int64(0)
+        cp = self._ctypes.c_void_p
+        nb = self._lib.gfa_finish_pot(
+            self._h, str(path).encode(), float(presimp),
+            pot_i.ctypes.data_as(cp), pot_j.ctypes.data_as(cp),
+            pot_c.ctypes.data_as(cp), len(pot_i),
+            self._ctypes.byref(removed))
+        self._h = None
+        if nb < 0:
+            raise RuntimeError(f"gfa_finish_pot failed for {path}")
         return dict(nb_nodes=self.n_nodes, nb_edges=int(nb),
                     presimp_removed=int(removed.value))
 

@@ -362,10 +362,12 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
         blob1 = np.concatenate(blob_parts)
         ro1 = np.concatenate(row_off_parts)
         em = PhasedEmitter(prefix, params, blob1, ro1,
-                           no_basespace=params.no_basespace)
+                           no_basespace=params.no_basespace,
+                           device_join=True)
 
         def run():
-            ph1 = counter.finalize_resolve(out1, lazy=True, prefix_rows=pr)
+            ph1 = counter.finalize_resolve(out1, lazy=True, prefix_rows=pr,
+                                           gk_mode="none")
             em.emit_phase(ph1)
             phase["ph1"] = ph1
 
@@ -403,7 +405,9 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
             phase["thread"].join()  # phase-1 emission ran under the stream
         row_lo = phase["ph1"].n_pass if "ph1" in phase else 0
         # async device reduction starts; the blob concat overlaps it
-        nodes = counter.finalize(lazy=True, row_lo=row_lo)
+        nodes = counter.finalize(lazy=True, row_lo=row_lo,
+                                 gk_mode="device" if "em" in phase
+                                 else "host")
         blob = (np.concatenate(blob_parts) if blob_parts
                 else np.zeros(0, dtype=np.uint8))
         row_off = (np.concatenate(row_off_parts) if row_off_parts
@@ -422,9 +426,10 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
         nodes.prefetch_full("count")  # rides the relay under tail emission
         if "em" in phase:
             em = phase["em"]
+            pot = counter.edge_join(nodes)  # device join + async POT fetch
             em.emit_phase(nodes, reads_buf=blob, row_off=row_off)
             counts = nodes.fetch_full("count")
-            g = em.finish(counts)
+            g = em.finish(counts, pot=pot)
         else:
             g = emit_device_outputs(prefix, params, nodes, blob, row_off,
                                     no_basespace=params.no_basespace)

@@ -62,6 +62,9 @@ void add_chunk_impl(Builder* b, int64_t n,
                     const uint64_t* fs, const uint64_t* fp_,
                     const uint64_t* fsr, const uint64_t* fpr,
                     const uint64_t* ksuf, const uint64_t* kpre) {
+    // fs == nullptr: keys-free feeding — the edge join happens on DEVICE
+    // (ops/edge_join.py) and arrives later as a POT list via
+    // gfa_finish_pot, so no fingerprints cross and no km_index is built.
     char line[128];
     int64_t base = (int64_t)b->index.size();
     b->index.insert(b->index.end(), index, index + n);
@@ -69,18 +72,21 @@ void add_chunk_impl(Builder* b, int64_t n,
     b->seqlen.insert(b->seqlen.end(), seqlen, seqlen + n);
     b->shift0.insert(b->shift0.end(), shift0, shift0 + n);
     b->shift1.insert(b->shift1.end(), shift1, shift1 + n);
-    b->fs.insert(b->fs.end(), fs, fs + 2 * n);
-    b->fp.insert(b->fp.end(), fp_, fp_ + 2 * n);
-    b->fsr.insert(b->fsr.end(), fsr, fsr + 2 * n);
-    b->fpr.insert(b->fpr.end(), fpr, fpr + 2 * n);
-    b->ksuf.insert(b->ksuf.end(), ksuf, ksuf + 2 * n);
-    b->kpre.insert(b->kpre.end(), kpre, kpre + 2 * n);
+    if (fs) {
+        b->fs.insert(b->fs.end(), fs, fs + 2 * n);
+        b->fp.insert(b->fp.end(), fp_, fp_ + 2 * n);
+        b->fsr.insert(b->fsr.end(), fsr, fsr + 2 * n);
+        b->fpr.insert(b->fpr.end(), fpr, fpr + 2 * n);
+        b->ksuf.insert(b->ksuf.end(), ksuf, ksuf + 2 * n);
+        b->kpre.insert(b->kpre.end(), kpre, kpre + 2 * n);
+    }
     for (int64_t i = 0; i < n; i++) {
         if (!b->defer_s) {
             snprintf(line, sizeof line, "S\t%u\t*\tLN:i:%u\tKC:i:%u\n",
                      index[i], seqlen[i], abundance[i]);
             b->s_lines += line;
         }
+        if (!fs) continue;
         // insertion order parity: pre then suf per node (main.rs:1023-1032)
         b->km_index[U128{kpre[2 * i], kpre[2 * i + 1]}].push_back(
             (uint32_t)(base + i));
@@ -215,6 +221,93 @@ int64_t finish_impl(Builder* b, const char* path, double presimp,
     return nb_edges;
 }
 
+// POT-list finish: the orientation-case join already ran on device
+// (ops/edge_join.py); pot arrives ordered exactly as finish_impl would
+// enumerate it — probe-major (node i ascending, suffix key group before
+// prefix), candidates in km_index insertion order, the four cases in fixed
+// order.  This pass only applies presimp (which needs whole-run abundances
+// and f64 arithmetic, main.rs:1086-1090), the deferred symmetric-drop rule,
+// and formats the file.  pot_c = (ki << 2) | case with case order
+// ++, +-, -+, -- (matching finish_impl's pot push order).
+int64_t finish_pot_impl(Builder* b, const char* path, double presimp,
+                        const uint32_t* pot_i, const uint32_t* pot_j,
+                        const uint32_t* pot_c, int64_t n_pot,
+                        int64_t* out_presimp_removed) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+    std::string buf;
+    buf.reserve(16 << 20);
+    buf += "H\tVN:Z:1.0\n";
+    char line[128];
+    if (b->defer_s) {
+        for (size_t i = 0; i < b->index.size(); i++) {
+            snprintf(line, sizeof line, "S\t%u\t*\tLN:i:%u\tKC:i:%u\n",
+                     b->index[i], b->seqlen[i], b->abundance[i]);
+            buf += line;
+        }
+    } else {
+        buf += b->s_lines;
+    }
+    b->s_lines.clear();
+    b->s_lines.shrink_to_fit();
+
+    struct Edge { uint32_t a, b; char oa, ob; uint32_t ov; };
+    std::vector<Edge> edges;
+    edges.reserve((size_t)n_pot);
+    std::unordered_set<std::pair<uint32_t, uint32_t>, PairHash> removed;
+    int64_t presimp_removed = 0;
+    static const char OA[4] = {'+', '+', '-', '-'};
+    static const char OB[4] = {'+', '-', '+', '-'};
+    int64_t g0 = 0;
+    while (g0 < n_pot) {
+        uint32_t i = pot_i[g0];
+        uint32_t ki = pot_c[g0] >> 2;
+        int64_t g1 = g0;
+        while (g1 < n_pot && pot_i[g1] == i && (pot_c[g1] >> 2) == ki) g1++;
+        uint32_t ab_max = 0;
+        for (int64_t t = g0; t < g1; t++)
+            if (b->abundance[pot_j[t]] > ab_max)
+                ab_max = b->abundance[pot_j[t]];
+        uint32_t ab_ref =
+            ab_max < b->abundance[i] ? ab_max : b->abundance[i];
+        int64_t potsize = g1 - g0;
+        for (int64_t t = g0; t < g1; t++) {
+            uint32_t j = pot_j[t];
+            int c = (int)(pot_c[t] & 3);
+            if (presimp > 0.0 && potsize >= 2 &&
+                (double)b->abundance[j] < presimp * (double)ab_ref) {
+                presimp_removed++;
+                removed.insert({b->index[i], b->index[j]});
+                continue;
+            }
+            uint32_t sh = OA[c] == '+' ? b->shift0[i] : b->shift1[i];
+            uint32_t ov1 = b->seqlen[i] - sh;  // u32 wrap like the ref
+            uint32_t ov2 = b->seqlen[j] - 1;
+            edges.push_back({b->index[i], b->index[j], OA[c], OB[c],
+                             ov1 < ov2 ? ov1 : ov2});
+        }
+        g0 = g1;
+    }
+    int64_t nb_edges = 0;
+    for (const Edge& e : edges) {
+        if (presimp > 0.0 &&
+            (removed.count({e.a, e.b}) || removed.count({e.b, e.a})))
+            continue;
+        snprintf(line, sizeof line, "L\t%u\t%c\t%u\t%c\t%uM\n",
+                 e.a, e.oa, e.b, e.ob, e.ov);
+        buf += line;
+        nb_edges++;
+        if (buf.size() > (8u << 20)) {
+            fwrite(buf.data(), 1, buf.size(), f);
+            buf.clear();
+        }
+    }
+    fwrite(buf.data(), 1, buf.size(), f);
+    fclose(f);
+    *out_presimp_removed = presimp_removed;
+    return nb_edges;
+}
+
 }  // namespace
 
 extern "C" {
@@ -253,6 +346,18 @@ int64_t gfa_finish(void* h, const char* path, double presimp,
                    int64_t* out_presimp_removed) {
     Builder* b = (Builder*)h;
     int64_t r = finish_impl(b, path, presimp, out_presimp_removed);
+    delete b;
+    return r;
+}
+
+// POT-list finish (device edge join): see finish_pot_impl.
+int64_t gfa_finish_pot(void* h, const char* path, double presimp,
+                       const uint32_t* pot_i, const uint32_t* pot_j,
+                       const uint32_t* pot_c, int64_t n_pot,
+                       int64_t* out_presimp_removed) {
+    Builder* b = (Builder*)h;
+    int64_t r = finish_pot_impl(b, path, presimp, pot_i, pot_j, pot_c,
+                                n_pot, out_presimp_removed);
     delete b;
     return r;
 }

@@ -45,11 +45,19 @@ def _u128_where(cond, a, b):
     return jnp.where(cond[:, None], a, b)
 
 
-@functools.partial(
-    __import__("jax").jit,
-    static_argnames=("edge_cap",),
-)
+@functools.lru_cache(maxsize=None)
+def _jitted():
+    import jax
+
+    return jax.jit(_edge_join_impl, static_argnames=("edge_cap",))
+
+
 def edge_join_device(gk, gflag, n_pass, *, edge_cap: int):
+    """Jitted entry — see _edge_join_impl."""
+    return _jitted()(gk, gflag, n_pass, edge_cap=edge_cap)
+
+
+def _edge_join_impl(gk, gflag, n_pass, *, edge_cap: int):
     """Sort-join the per-node overlap keys into the POT candidate list.
 
     gk    [n, 8] u64  (Fs, Fp, FsR, FpR as (lo, hi) pairs — the
@@ -190,11 +198,12 @@ def edge_join_device(gk, gflag, n_pass, *, edge_cap: int):
     case_of_s = lane & 3
 
     ok = s < n_pot
-    j_of_s = spay[jnp.clip(p_of_s * 0 + p_glo[p_of_s] + g_of_s, 0, N4 - 1)]
+    j_of_s = spay[jnp.clip(p_glo[p_of_s] + g_of_s, 0, N4 - 1)]
     pot_i = jnp.where(ok, (p_of_s >> 1).astype(jnp.uint32), jnp.uint32(0))
     pot_j = jnp.where(ok, j_of_s.astype(jnp.uint32), jnp.uint32(0))
+    # u8 on the wire (values < 8); the host widens on ingest
     pot_c = jnp.where(
-        ok, (((p_of_s & 1) << 2) | case_of_s).astype(jnp.uint32),
-        jnp.uint32(0))
+        ok, (((p_of_s & 1) << 2) | case_of_s).astype(jnp.uint8),
+        jnp.uint8(0))
     return dict(pot_i=pot_i, pot_j=pot_j, pot_c=pot_c,
                 stats2=jnp.stack([n_pot, g_over]))

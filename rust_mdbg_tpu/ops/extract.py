@@ -329,7 +329,7 @@ def _stream_filter_bloom(canon, sel, hpc_codes, bits, *,
 
     sidx = jnp.arange(NL, dtype=jnp.int32)
     skey = jnp.where(cand, bidx, ~jnp.uint64(0))
-    sk, si = jax.lax.sort((skey, sidx), num_keys=1, is_stable=True)
+    sk, si = jax.lax.sort((skey, sidx), num_keys=2)  # sidx unique: 2-key == stable
     first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
     scand = sk != ~jnp.uint64(0)
     dup_sorted = scand & ~first
@@ -401,7 +401,7 @@ def _stream_filter(canon, sel, hpc_codes, preload, seen, delta, *,
     # density bound), stream order preserved within equal hashes
     sidx = jnp.arange(NL, dtype=jnp.int32)
     skey = jnp.where(cand, hf, maxu)
-    sk, si = jax.lax.sort((skey, sidx), num_keys=1, is_stable=True)
+    sk, si = jax.lax.sort((skey, sidx), num_keys=2)  # sidx unique: 2-key == stable
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
     scand = sk != maxu

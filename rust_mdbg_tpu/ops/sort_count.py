@@ -61,7 +61,9 @@ def _finalize(b_keys, b_meta, b_vecs, *, minab, node_cap, keep_all):
     lo = jnp.where(valid, b_keys[:, 0], ~jnp.uint64(0))
     hi = jnp.where(valid, b_keys[:, 1], ~jnp.uint64(0))
     occ = jnp.arange(N, dtype=jnp.uint32)
-    slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=2, is_stable=True)
+    # occ (unique, ascending) as a third sort key replaces stability — see
+    # _finalize_compact
+    slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=3)
     sval = ~((slo == ~jnp.uint64(0)) & (shi == ~jnp.uint64(0)))
     n_valid = sval.sum().astype(jnp.int32)
     prev_lo = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), slo[:-1]])
@@ -200,10 +202,11 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
     lo = b_keys[:, 0]
     hi = b_keys[:, 1]
     occ = b_occ
-    # stable sort on the 128-bit key alone: buffer order is ascending occ
-    # (batches and windows are appended in read order), so equal keys keep
-    # ascending occurrence order without a third sort key
-    slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=2, is_stable=True)
+    # sort by (key128, occ): occ as an explicit THIRD key replaces stability
+    # (occ is the global window coordinate — unique per valid row and
+    # ascending in buffer order), sparing the iota operand XLA adds to
+    # lower a stable sort
+    slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=3)
     sval = ~((slo == ~jnp.uint64(0)) & (shi == ~jnp.uint64(0)))
     n_valid = sval.sum().astype(jnp.int32)
     prev_lo = jnp.concatenate([jnp.full((1,), ~jnp.uint64(0)), slo[:-1]])
@@ -516,6 +519,49 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
     return construct
 
 
+class PotJoin:
+    """Async handle for the device edge join: dispatch + async copies at
+    construction, blocking resolution (with the rare cap re-run) at
+    resolve().  See DeviceNodeCounter.edge_join."""
+
+    def __init__(self, gk, gflag, n_pass: int):
+        self._gk, self._gflag, self._n_pass = gk, gflag, n_pass
+        cap = 1 << 14
+        while cap < 2 * n_pass:
+            cap <<= 1
+        self._cap = cap
+        self._res = self._dispatch(cap)
+
+    def _dispatch(self, cap):
+        import jax.numpy as jnp
+
+        from .edge_join import edge_join_device
+
+        res = edge_join_device(self._gk, self._gflag,
+                               jnp.int32(self._n_pass), edge_cap=cap)
+        for name in ("stats2", "pot_i", "pot_j", "pot_c"):
+            try:
+                res[name].copy_to_host_async()
+            except Exception:
+                pass
+        return res
+
+    def resolve(self):
+        res = self._res
+        n_pot, g_over = (int(x) for x in np.asarray(res["stats2"]))
+        if g_over > 0:
+            return None
+        while n_pot > self._cap:  # rare: re-run with a doubled cap
+            while self._cap < n_pot:
+                self._cap *= 2
+            res = self._dispatch(self._cap)
+            n_pot, g_over = (int(x) for x in np.asarray(res["stats2"]))
+            if g_over > 0:
+                return None
+        return tuple(np.asarray(res[name])[:n_pot]
+                     for name in ("pot_i", "pot_j", "pot_c"))
+
+
 class DeviceNodeCounter:
     """Whole-run device-resident counter (single-chip path).
 
@@ -637,7 +683,8 @@ class DeviceNodeCounter:
         return fin(*self.buffers)
 
     def finalize_resolve(self, out, lazy: bool = False, row_lo: int = 0,
-                         prefix_rows: int | None = None):
+                         prefix_rows: int | None = None,
+                         gk_mode: str = "host"):
         """Block on a finalize_dispatch result and package it.
 
         On node_cap overflow the reduction re-runs on the CURRENT buffers —
@@ -646,6 +693,12 @@ class DeviceNodeCounter:
 
         row_lo: first row the caller still needs (rows below were emitted by
         an earlier phase); the LazyNodes prefetches only [row_lo, n_pass).
+
+        gk_mode: "host" computes the overlap fingerprints and stages their
+        device->host chunks (the host km_index join path); "device" computes
+        them but keeps them device-only (the edge_join path fetches POT
+        records instead — 65 B/node never crosses); "none" skips them (a
+        non-final phase under the device join needs no keys at all).
         """
         n_pass, n_unique, node_overflow = (
             int(x) for x in np.asarray(out["stats3"]))
@@ -662,7 +715,7 @@ class DeviceNodeCounter:
         if lazy:
             from ..core.device_out import LazyNodes
 
-            if self.emit_overlap_keys:
+            if self.emit_overlap_keys and gk_mode != "none":
                 # dispatched AFTER the blocking stats3 fetch, on the passing
                 # prefix only (power-of-2 shapes bound the compile count);
                 # runs async while the host starts the writer phase.  The
@@ -675,7 +728,8 @@ class DeviceNodeCounter:
                 gk, gflag = self._overlap_keys(out["vec"][:cap2])
                 out = dict(out, gk=gk, gflag=gflag)
             return LazyNodes(out, n_pass, row_lo=row_lo,
-                             want_vec=not self.emit_overlap_keys)
+                             want_vec=not self.emit_overlap_keys,
+                             want_gk=gk_mode == "host")
         cap2 = 1
         while cap2 < max(1, n_pass):
             cap2 <<= 1
@@ -688,8 +742,23 @@ class DeviceNodeCounter:
         res["index"] = np.arange(n_pass, dtype=np.uint32)
         return res
 
+    def edge_join(self, nodes):
+        """Dispatch the device sort-join (ops/edge_join) on the FINAL
+        finalize's overlap keys WITHOUT blocking: the stats and the POT
+        arrays start their device->host copies immediately and ride the
+        relay under the tail .sequences emission; PotJoin.resolve() (called
+        at finish) blocks, handles the rare edge_cap re-run, and returns
+        (pot_i, pot_j, pot_c) in exact host-join emission order — or None
+        when some key group exceeds G_SLOTS (caller falls back to the host
+        km_index join).  The dominant fetch becomes ~12 B per candidate edge
+        instead of 65 B per node."""
+        out = nodes._out
+        if "gk" not in out:
+            return None
+        return PotJoin(out["gk"], out["gflag"], nodes.n_pass)
+
     def finalize(self, lazy: bool = False, prefix_rows: int | None = None,
-                 row_lo: int = 0):
+                 row_lo: int = 0, gk_mode: str = "host"):
         """Run the device reduction; fetch only the passing-node prefix.
 
         Passing nodes are compacted to the front in deterministic crossing
@@ -706,7 +775,7 @@ class DeviceNodeCounter:
         """
         return self.finalize_resolve(
             self.finalize_dispatch(prefix_rows), lazy=lazy, row_lo=row_lo,
-            prefix_rows=prefix_rows)
+            prefix_rows=prefix_rows, gk_mode=gk_mode)
 
     # --- chunked >HBM counting path (core/chunked.py driver) -------------
 

@@ -208,23 +208,35 @@ def test_phased_matches_single_shot(tmp_path):
         bufs, _n, ov2 = construct(jnp.asarray(codes), jnp.asarray(lengths),
                                   counter.buffers, 0, n1, n_batches)
         counter.buffers = bufs
-        ph1 = counter.finalize_resolve(out1, lazy=True, prefix_rows=prefix1)
+        dj = str(phased).startswith("device_join")
+        ph1 = counter.finalize_resolve(out1, lazy=True, prefix_rows=prefix1,
+                                       gk_mode="none" if dj else "host")
         em = PhasedEmitter(prefix, p, CODE_BASE[genome],
-                           starts.astype(np.int64))
+                           starts.astype(np.int64), device_join=dj)
         em.emit_phase(ph1)
         assert int(np.asarray(ov1)) + int(np.asarray(ov2)) == 0
-        nodes = counter.finalize(lazy=True, row_lo=ph1.n_pass)
+        nodes = counter.finalize(lazy=True, row_lo=ph1.n_pass,
+                                 gk_mode="device" if dj else "host")
         assert nodes.n_pass >= ph1.n_pass > 0
+        pot = counter.edge_join(nodes) if dj else None
+        if dj:
+            assert pot is not None  # no G-overflow on this corpus
+        if phased == "device_join_fallback":
+            pot = None  # simulate G-overflow: host km_index join fallback
         em.emit_phase(nodes)
-        g = em.finish(nodes.fetch_full("count"))
+        g = em.finish(nodes.fetch_full("count"), pot=pot)
         return prefix, g
 
     ps, gs = build("single", phased=False)
     pp, gp = build("phased", phased=True)
-    assert gs == gp
-    assert open(ps + ".gfa").read() == open(pp + ".gfa").read()
+    pd, gd = build("devjoin", phased="device_join")
+    pf, gf = build("devfall", phased="device_join_fallback")
+    assert gs == gp == gd == gf
+    assert (open(ps + ".gfa").read() == open(pp + ".gfa").read()
+            == open(pd + ".gfa").read())
     rs = sorted(iter_sequences(ps), key=lambda r: r["index"])
     rp = sorted(iter_sequences(pp), key=lambda r: r["index"])
-    assert rs == rp and len(rs) > 20
+    rd = sorted(iter_sequences(pd), key=lambda r: r["index"])
+    assert rs == rp == rd and len(rs) > 20
     # shard files stay glob-compatible
     assert glob.glob(pp + ".*.sequences")
