@@ -192,6 +192,7 @@ def main():
                            cap_hint=1 << 18, accel=12, device_join=True)
         overs = []
         pending = None   # (finalize_dispatch result, prefix_rows)
+        final_out = None
         row_lo = 0
         prev = 0
         t_emit1 = 0.0
@@ -200,23 +201,39 @@ def main():
                                       counter.buffers, 0, prev, hi)
             counter.buffers = bufs
             overs.append(ov)
+            if hi < n_batches:
+                pr = hi * B * W_slot
+                nxt = (counter.finalize_dispatch(prefix_rows=pr), pr)
+            else:
+                nxt = None
             if pending is not None:
                 out_p, pr = pending
                 ph = counter.finalize_resolve(out_p, lazy=True,
                                               prefix_rows=pr, row_lo=row_lo,
                                               gk_mode="none")
+                # Ordering vs the relay: device->host copies serialize
+                # behind enqueued device work here, so (1) block on this
+                # phase's transfers, (2) only THEN enqueue the final
+                # finalize (the big sort), (3) do the phase's host-side
+                # emission work while it runs.  Enqueueing the finalize
+                # first would stall the phase fetches ~the whole sort.
+                ph.fetch("meta")
+                if ph.has("mpos"):
+                    ph.fetch("mpos")
+                if nxt is None:
+                    final_out = counter.finalize_dispatch()
                 em.emit_phase(ph)
                 row_lo = ph.n_pass
                 if t_emit1 == 0.0:
                     t_emit1 = time.perf_counter() - t0
-            if hi < n_batches:
-                pr = hi * B * W_slot
-                pending = (counter.finalize_dispatch(prefix_rows=pr), pr)
+            elif nxt is None:
+                final_out = counter.finalize_dispatch()
+            pending = nxt
             prev = hi
         n_over = sum(int(np.asarray(o)) for o in overs)
         t_loop = time.perf_counter() - t0
-        nodes = counter.finalize(lazy=True, row_lo=row_lo,
-                                 gk_mode="device")
+        nodes = counter.finalize_resolve(final_out, lazy=True,
+                                         row_lo=row_lo, gk_mode="device")
         t_construct = time.perf_counter() - t0
         assert n_over == 0, f"{n_over} reads overflowed minimizer capacity"
         t_host0 = time.perf_counter()

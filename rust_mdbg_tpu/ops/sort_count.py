@@ -715,6 +715,20 @@ class DeviceNodeCounter:
         if lazy:
             from ..core.device_out import LazyNodes
 
+            if self.emit_overlap_keys and gk_mode == "device":
+                # device->host copies serialize behind enqueued device work
+                # through the relay: start the meta/mpos/count copies FIRST,
+                # then enqueue the Horner fingerprint math the device join
+                # consumes in place (never fetched by the host)
+                nodes = LazyNodes(out, n_pass, row_lo=row_lo,
+                                  want_vec=False, want_gk=False)
+                cap2 = 1
+                while cap2 < max(1, n_pass):
+                    cap2 <<= 1
+                cap2 = min(cap2, out["vec"].shape[0])
+                gk, gflag = self._overlap_keys(out["vec"][:cap2])
+                nodes._out = dict(out, gk=gk, gflag=gflag)
+                return nodes
             if self.emit_overlap_keys and gk_mode != "none":
                 # dispatched AFTER the blocking stats3 fetch, on the passing
                 # prefix only (power-of-2 shapes bound the compile count);
