@@ -164,7 +164,7 @@ def main(argv=None):
         "to-basespace", "gfa-asm", "magic-simplify", "multik", "gfa2fasta",
         "break-loops", "simplify-meta", "gfa-complete", "hpc-compress", "gfa-strip",
         "extreme-simplify",
-        "synth-reads",
+        "synth-reads", "ec-scale",
     ):
         from .tools import dispatch
 

@@ -69,7 +69,11 @@ class LazyNodes:
         # chunks are fetched by a small thread pool in emit_device_outputs so
         # transfer overlaps the per-chunk host formatting/compression.
         self._pre = {}
-        for name in ("meta", "count", "mpos", "gflag"):
+        pre_names = ["meta", "meta16", "metarow", "count", "mpos"]
+        if want_gk:
+            # the device-join path never reads gflag on the host
+            pre_names.append("gflag")
+        for name in pre_names:
             if name not in out:
                 continue
             self._pre[name] = self._slice(out[name])
@@ -114,6 +118,18 @@ class LazyNodes:
     def fetch(self, name: str) -> np.ndarray:
         """Host array for rows [row_lo, n_pass) — the phase's NEW nodes."""
         trim = self.row_lo - self._lo_r()
+        if name == "meta" and "meta16" in self._pre:
+            # re-widen the u16 wire packing (ops/sort_count meta16/metarow)
+            # into the canonical 5-col u32 meta layout
+            m16 = self.fetch("meta16").astype(np.uint32)
+            mrow = self.fetch("metarow")
+            meta = np.empty((len(mrow), 5), dtype=np.uint32)
+            meta[:, 0] = m16[:, 0]
+            meta[:, 1] = m16[:, 1] | np.uint32(1 << 31)
+            meta[:, 2] = m16[:, 2] | (mrow & np.uint32(1 << 31))
+            meta[:, 3] = m16[:, 3]
+            meta[:, 4] = mrow & np.uint32(0x7FFFFFFF)
+            return meta
         if name == "gk" and self._gk_chunks:
             parts = []
             for r, a in self._gk_chunks:

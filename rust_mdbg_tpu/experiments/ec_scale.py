@@ -1,0 +1,92 @@
+"""Minimizer-space error-correction at scale: timed POA EC runs.
+
+Measures the full `--error-correct` pipeline (extraction -> EC bucket
+recruit -> POA graph weave -> reingest -> abundance filter -> GFA) on a
+synthetic noisy corpus at arbitrary genome scale, the workload the
+reference drives through its crossbeam thread-chunks
+(/root/reference/src/main.rs:855-883, poa.rs:781-874).  The device driver
+(`--device-poa`) batches every active template's next fwd+rev alignment
+into one vmapped DP dispatch (ops/poa_device; models/correct
+run_error_correction_lockstep).
+
+CLI: python -m rust_mdbg_tpu ec-scale --genome-mbp 100 --device-poa \
+         --out EC_SCALE.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import time
+
+
+def run_ec_scale(genome_mbp: float, coverage: float = 30,
+                 read_len: int = 10000, error_rate: float = 0.01,
+                 device_poa: bool = True, ec_chunk: int = 64,
+                 workdir: str | None = None, seed: int = 0) -> dict:
+    from ..core.pipeline import assemble
+    from ..params import Params
+    from .synth import write_synthetic_reads
+
+    workdir = workdir or "/tmp/mdbg_ec_scale"
+    os.makedirs(workdir, exist_ok=True)
+    reads = os.path.join(workdir, f"ec_{genome_mbp:g}mbp.fa")
+    t0 = time.perf_counter()
+    info = write_synthetic_reads(reads, genome_mbp=genome_mbp,
+                                 coverage=coverage, read_len=read_len,
+                                 error_rate=error_rate, seed=seed)
+    t_synth = time.perf_counter() - t0
+
+    # minimizer-space EC wants dense-enough minimizers per read for the POA
+    # graph to capture errors (the reference's EC experiments ran small-l,
+    # higher-density settings than assembly; utils/magic_simplify EC configs)
+    p = Params(k=8, l=10, density=0.02, min_kmer_abundance=2,
+               error_correct=True, engine="host",
+               ec_device_poa=device_poa)
+    if device_poa:
+        object.__setattr__(p, "ec_chunk", ec_chunk)
+    prefix = os.path.join(workdir, f"ec_{genome_mbp:g}mbp")
+    t1 = time.perf_counter()
+    stats = assemble(reads, p, prefix)
+    t_run = time.perf_counter() - t1
+    phases = stats.get("phases", {})
+    return dict(
+        genome_mbp=genome_mbp, coverage=coverage, read_len=read_len,
+        error_rate=error_rate, device_poa=device_poa,
+        total_gbp=round(info["total_bases"] / 1e9, 4),
+        synth_s=round(t_synth, 1), wall_s=round(t_run, 1),
+        ec_s=round(phases.get("error-correct", 0.0), 1),
+        phases={k: round(v, 1) for k, v in phases.items()},
+        nb_nodes=stats.get("nb_nodes"), nb_edges=stats.get("nb_edges"),
+        max_rss_gb=round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
+    )
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="ec-scale")
+    ap.add_argument("--genome-mbp", type=float, default=100)
+    ap.add_argument("--coverage", type=float, default=30)
+    ap.add_argument("--read-len", type=int, default=10000)
+    ap.add_argument("--error-rate", type=float, default=0.01)
+    ap.add_argument("--device-poa", action="store_true")
+    ap.add_argument("--ec-chunk", type=int, default=64)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--out", default=None)
+    a = ap.parse_args(argv)
+    res = run_ec_scale(a.genome_mbp, a.coverage, a.read_len, a.error_rate,
+                       a.device_poa, a.ec_chunk, a.workdir)
+    line = json.dumps(res)
+    print(line)
+    if a.out:
+        with open(a.out, "w") as f:
+            f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main(sys.argv[1:]))

@@ -131,13 +131,14 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
         pdt = jnp.uint16 if L < (1 << 16) else jnp.int32
         iot = jax.lax.broadcasted_iota(pdt, (B * nch, 512), 1)
         selc = sel.reshape(B * nch, 512)
-        posc = (
-            iot + ((jnp.arange(B * nch, dtype=jnp.int32) % nch)
-                   .astype(pdt))[:, None] * pdt(512)
-        )
+        # single-operand sort: the key IS the chunk-local position, so the
+        # global position is recovered post-sort by adding the (per-row
+        # constant) chunk base — no payload operand, half the bitonic bytes
         ck = jnp.where(selc, iot, pdt(512))
-        sck, cpos = jax.lax.sort((ck, posc), num_keys=1, dimension=1)
-        cval = jnp.where(sck == pdt(512), pdt(L), cpos)
+        sck = jax.lax.sort(ck, dimension=1)
+        base = ((jnp.arange(B * nch, dtype=jnp.int32) % nch)
+                .astype(pdt))[:, None] * pdt(512)
+        cval = jnp.where(sck == pdt(512), pdt(L), sck + base)
         # re-sort carries only the first C slots per chunk
         lvl2 = cval[:, :C].reshape(B, nch * C)
         l2s = jax.lax.sort(lvl2, dimension=1)
@@ -152,8 +153,8 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
     else:
         iot = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
         skey = jnp.where(sel, iot, jnp.int32(L))
-        _, perm = jax.lax.sort((skey, iot), num_keys=1, dimension=1)
-        perm_m = perm[:, :M]
+        # the key IS the position: no payload operand needed
+        perm_m = jnp.minimum(jax.lax.sort(skey, dimension=1)[:, :M], L - 1)
         overflow = n_min_raw > M
     miot = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
     in_range = miot < n_min[:, None]

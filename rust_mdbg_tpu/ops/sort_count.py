@@ -205,7 +205,10 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
     # sort by (key128, occ): occ as an explicit THIRD key replaces stability
     # (occ is the global window coordinate — unique per valid row and
     # ascending in buffer order), sparing the iota operand XLA adds to
-    # lower a stable sort
+    # lower a stable sort.  (A surrogate sort by lo alone with post-sort
+    # gathers of hi/occ was measured SLOWER on TPU — 762 vs 590 ms at bench
+    # shapes, profiling/micro_profile12.py: two 6.8M-row random gathers cost
+    # more than the third sort operand they save.)
     slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=3)
     sval = ~((slo == ~jnp.uint64(0)) & (shi == ~jnp.uint64(0)))
     n_valid = sval.sum().astype(jnp.int32)
@@ -249,11 +252,23 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
                              with_record_pos=emit_mpos, pos_u16=mpos_u16)
     out = dict(
         key_lo=u_lo[order], key_hi=u_hi[order], count=counts[order],
-        meta=gw[1], vec=gw[0],
+        vec=gw[0],
         # one bundled scalar fetch (each np.asarray round-trips the relay)
         stats3=jnp.stack([n_pass, n_unique_all,
                           jnp.maximum(0, n_pass - pass_cap)]),
     )
+    meta = gw[1]
+    if mpos_u16:
+        # u16 wire packing (valid whenever the staged read width fits u16,
+        # the same gate as mpos_u16): (seqlen, shift0, shift1, start) as
+        # [n, 4] u16 + (row | rev<<31) u32 — 12 B/node over the relay
+        # instead of 20; LazyNodes.fetch("meta") re-widens on the host.
+        out["meta16"] = jnp.stack(
+            [meta[:, 0], meta[:, 1] & 0x7FFFFFFF, meta[:, 2] & 0x7FFFFFFF,
+             meta[:, 3]], axis=-1).astype(jnp.uint16)
+        out["metarow"] = meta[:, 4] | ((meta[:, 2] >> 31) << 31)
+    else:
+        out["meta"] = meta
     if emit_mpos:
         out["mpos"] = gw[2]
     return out
@@ -753,6 +768,17 @@ class DeviceNodeCounter:
                      "gflag", "mpos"):
             if name in out:
                 res[name] = np.asarray(out[name][:cap2])[:n_pass]
+        if "meta" not in res and "meta16" in out:
+            # re-widen the u16 wire packing (see _finalize_compact meta16)
+            m16 = np.asarray(out["meta16"][:cap2])[:n_pass].astype(np.uint32)
+            mrow = np.asarray(out["metarow"][:cap2])[:n_pass]
+            meta = np.empty((n_pass, 5), dtype=np.uint32)
+            meta[:, 0] = m16[:, 0]
+            meta[:, 1] = m16[:, 1] | np.uint32(1 << 31)
+            meta[:, 2] = m16[:, 2] | (mrow & np.uint32(1 << 31))
+            meta[:, 3] = m16[:, 3]
+            meta[:, 4] = mrow & np.uint32(0x7FFFFFFF)
+            res["meta"] = meta
         res["index"] = np.arange(n_pass, dtype=np.uint32)
         return res
 

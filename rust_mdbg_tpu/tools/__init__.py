@@ -47,6 +47,10 @@ def dispatch(name: str, argv: list[str]) -> int:
         from ..experiments.synth import main
 
         return main(argv)
+    if name == "ec-scale":
+        from ..experiments.ec_scale import main
+
+        return main(argv)
     if name == "extreme-simplify":
         from .extreme_view import main
 
