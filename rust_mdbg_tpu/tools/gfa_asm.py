@@ -12,10 +12,18 @@ here strictly helps.
 
 CLI:  python -m rust_mdbg_tpu gfa-asm in.gfa -t 10,50000 -b 100000 -u -o out.gfa
 Flags apply IN ORDER like gfatools (each -t/-b is one pass).
+
+Two engines produce byte-identical files (tests/test_gfa_asm_native.py):
+this module's readable Python passes (the oracle) and native/gfa_asm.cpp
+(the production engine, gfatools-class speed; gfatools runs HG002's full
+graph in 1m48s per /root/reference/README.md:130-131 and the native engine
+is what lets magic_simplify keep that budget).  `run_ops_file` dispatches:
+MDBG_GFA_ASM=python|native overrides, default prefers native.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 from ..utils.seq import revcomp
@@ -312,6 +320,100 @@ def unitigs(g: Gfa) -> Gfa:
     return out
 
 
+def run_ops(g: Gfa, ops, verbose=False, err=sys.stderr) -> Gfa:
+    """Apply an op schedule to an in-memory graph (Python engine)."""
+    for op in ops:
+        if op[0] == "t":
+            n = cut_tips(g, op[1], op[2])
+            if verbose and n:
+                print(f"  cut {n} tip segments", file=err)
+        elif op[0] == "b":
+            n = pop_bubbles(g, op[1])
+            if verbose and n:
+                print(f"  popped {n} bubble segments", file=err)
+        elif op[0] == "r":
+            n = drop_short(g, op[1])
+            if verbose and n:
+                print(f"  dropped {n} short links", file=err)
+        elif op[0] == "u":
+            g = unitigs(g)
+            if verbose:
+                print(f"  {len(g.segments)} unitigs", file=err)
+    return g
+
+
+def _native_lib():
+    import ctypes
+
+    from ..native import load
+
+    lib = load("gfa_asm")
+    if not getattr(lib, "_gfa_asm_ready", False):
+        lib.gfa_asm_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_long,
+        ]
+        lib.gfa_asm_file.restype = ctypes.c_int
+        lib._gfa_asm_ready = True
+    return lib
+
+
+def engine_choice(engine: str | None = None) -> str:
+    e = engine or os.environ.get("MDBG_GFA_ASM", "native")
+    if e == "native":
+        try:
+            _native_lib()
+        except Exception:
+            e = "python"
+    return e
+
+
+def run_ops_file(in_path: str, ops, out_path: str, engine: str | None = None,
+                 verbose: bool = False) -> list[tuple[str, int]]:
+    """Apply an op schedule file -> file; returns [(op_kind, count), ...].
+
+    Counts: t/b = segments removed, r = links removed, u = unitigs emitted.
+    Native and Python engines are byte-identical by test.
+    """
+    eng = engine_choice(engine)
+    if eng == "native":
+        import ctypes
+
+        lib = _native_lib()
+        spec = ";".join(",".join(str(x) for x in op) for op in ops)
+        buf = ctypes.create_string_buffer(1 << 16)
+        rc = lib.gfa_asm_file(in_path.encode(), spec.encode(),
+                              out_path.encode(), buf, len(buf))
+        if rc != 0:
+            raise RuntimeError(
+                f"gfa_asm_file rc={rc}: {buf.value.decode(errors='replace')}")
+        stats = []
+        for line in buf.value.decode().splitlines():
+            kind, _, count = line.partition(" ")
+            stats.append((kind, int(count)))
+    else:
+        g = Gfa.parse(in_path)
+        stats = []
+        for op in ops:
+            if op[0] == "t":
+                stats.append(("t", cut_tips(g, op[1], op[2])))
+            elif op[0] == "b":
+                stats.append(("b", pop_bubbles(g, op[1])))
+            elif op[0] == "r":
+                stats.append(("r", drop_short(g, op[1])))
+            elif op[0] == "u":
+                g = unitigs(g)
+                stats.append(("u", len(g.segments)))
+        g.write(out_path)
+    if verbose:
+        names = {"t": "cut tip segments", "b": "popped bubble segments",
+                 "r": "dropped short links", "u": "unitigs"}
+        for kind, count in stats:
+            if count or kind == "u":
+                print(f"  [{eng}] {count} {names[kind]}", file=sys.stderr)
+    return stats
+
+
 def main(argv) -> int:
     import argparse
 
@@ -349,27 +451,20 @@ def main(argv) -> int:
         print("usage: gfa-asm <in.gfa> [-t N,L] [-b D] [-u] [-o out.gfa]",
               file=sys.stderr)
         return 2
-    g = Gfa.parse(path)
-    for op in ops:
-        if op[0] == "t":
-            n = cut_tips(g, op[1], op[2])
-            print(f"[gfa-asm] cut {n} tip segments (-t {op[1]},{op[2]})",
-                  file=sys.stderr)
-        elif op[0] == "b":
-            n = pop_bubbles(g, op[1])
-            print(f"[gfa-asm] popped {n} bubble segments (-b {op[1]})",
-                  file=sys.stderr)
-        elif op[0] == "u":
-            g = unitigs(g)
-            print(f"[gfa-asm] {len(g.segments)} unitigs", file=sys.stderr)
+    tmp = None
+    target = outp
     if outp == "-":
-        import tempfile, os
+        import tempfile
 
-        fd, tmp = tempfile.mkstemp()
+        fd, tmp = tempfile.mkstemp(suffix=".gfa")
         os.close(fd)
-        g.write(tmp)
+        target = tmp
+    stats = run_ops_file(path, ops, target)
+    names = {"t": "cut tip segments", "b": "popped bubble segments",
+             "r": "dropped short links", "u": "unitigs"}
+    for kind, count in stats:
+        print(f"[gfa-asm] {count} {names[kind]}", file=sys.stderr)
+    if tmp is not None:
         sys.stdout.write(open(tmp).read())
         os.remove(tmp)
-    else:
-        g.write(outp)
     return 0

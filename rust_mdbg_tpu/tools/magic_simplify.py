@@ -17,7 +17,7 @@ import os
 import sys
 
 from .gfa import Gfa
-from .gfa_asm import cut_tips, pop_bubbles, unitigs
+from .gfa_asm import cut_tips, pop_bubbles, unitigs, run_ops, run_ops_file
 from .gfa2fasta import gfa2fasta
 from .gfa_break_loops import break_loops
 from .to_basespace import to_basespace
@@ -38,29 +38,11 @@ ROUND3 = [
 ]
 
 
-def run_ops(g: Gfa, ops, verbose=True) -> Gfa:
-    for op in ops:
-        if op[0] == "t":
-            n = cut_tips(g, op[1], op[2])
-            if verbose and n:
-                print(f"  cut {n} tip segments", file=sys.stderr)
-        elif op[0] == "b":
-            n = pop_bubbles(g, op[1])
-            if verbose and n:
-                print(f"  popped {n} bubble segments", file=sys.stderr)
-        elif op[0] == "u":
-            g = unitigs(g)
-            if verbose:
-                print(f"  {len(g.segments)} unitigs", file=sys.stderr)
-    return g
-
-
 def magic_simplify(base: str, meta: bool = False, keep: bool = False,
-                   exact_junctions: bool = False) -> str:
-    g = Gfa.parse(base + ".gfa")
-    g = run_ops(g, ROUND1)
+                   exact_junctions: bool = False,
+                   engine: str | None = None) -> str:
     tmp1 = base + ".tmp1.gfa"
-    g.write(tmp1)
+    run_ops_file(base + ".gfa", ROUND1, tmp1, engine=engine, verbose=True)
     tmp2 = base + ".tmp2.gfa"
     break_loops(tmp1, tmp2)
     complete = to_basespace(tmp2, base, exact=exact_junctions)
@@ -70,15 +52,14 @@ def magic_simplify(base: str, meta: bool = False, keep: bool = False,
     if not meta:
         filesize = os.path.getsize(tmp2)
         if filesize > 1_000_000:
-            g = run_ops(Gfa.parse(current), ROUND2)
             tmp3 = base + ".tmp3.gfa"
-            g.write(tmp3)
+            run_ops_file(current, ROUND2, tmp3, engine=engine, verbose=True)
             current = tmp3
         if filesize > 100_000_000:
             tmp4 = base + ".tmp4.gfa"
             break_loops(current, tmp4)
-            g = run_ops(Gfa.parse(tmp4), ROUND3)
-            g.write(base + ".msimpl.gfa")
+            run_ops_file(tmp4, ROUND3, base + ".msimpl.gfa", engine=engine,
+                         verbose=True)
         else:
             os.replace(current, base + ".msimpl.gfa")
     else:
