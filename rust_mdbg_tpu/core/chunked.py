@@ -62,6 +62,19 @@ def chunked_eligible(params: Params) -> bool:
     return params.min_kmer_abundance <= MAX_CHUNK_SLOTS or params.reference
 
 
+def _host_join_gfa(prefix, params, nodes, gk: np.ndarray, gf: np.ndarray):
+    """Host km_index join from id-ordered fingerprints (the non-catalog path
+    and the G_SLOTS-overflow fallback)."""
+    from .graph import build_gfa_precomputed
+
+    Fs, Fp, FsR, FpR = gk[:, 0:2], gk[:, 2:4], gk[:, 4:6], gk[:, 6:8]
+    key_suf = np.where((gf & 1).astype(bool)[:, None], Fs, FsR)
+    key_pre = np.where((gf & 2).astype(bool)[:, None], Fp, FpR)
+    return build_gfa_precomputed(
+        f"{prefix}.gfa", nodes, (Fs, Fp, FsR, FpR, key_suf, key_pre),
+        presimp=params.presimp)
+
+
 def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                             timer: PhaseTimer | None = None,
                             stats: dict | None = None,
@@ -184,6 +197,30 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     gk_arrs: list[np.ndarray] = []    # [n, 8] u64 fingerprints (recompute)
     gf_arrs: list[np.ndarray] = []    # [n] u8 orientation flags
 
+    # device edge join (main.rs:1014-1106 semantics via ops/edge_join): the
+    # crossing keys accumulate in a bounded DEVICE catalog instead of being
+    # fetched per chunk (65 B/node saved off the D2H link); at GFA time the
+    # id-order permutation goes up (4 B/node) and only the ~12 B/candidate
+    # POT list comes down.  On catalog overflow or a G_SLOTS join overflow
+    # the driver spills to the host join — exactness never depends on it.
+    import os as _os2
+
+    catalog = None
+    if rec_ok and _os2.environ.get("MDBG_CHUNK_DEVICE_JOIN", "1") != "0":
+        from ..ops.edge_join import DeviceKeyCatalog
+
+        cat_cap = int(_os2.environ.get("MDBG_CHUNK_CAT_CAP", 1 << 22))
+        catalog = DeviceKeyCatalog(cat_cap)
+
+    def _spill_catalog():
+        """Move the device catalog to the host arrays (append order kept)."""
+        nonlocal catalog
+        gk_sp, gf_sp = catalog.spill()
+        if len(gk_sp):
+            gk_arrs.append(gk_sp)
+            gf_arrs.append(gf_sp)
+        catalog = None
+
     def flush_chunk(staged, lens_d, blob, blob_off, fill, Lc):
         """One chunk through: device reduce -> native merge -> crossing
         gather -> .sequences shard.  staged/lens_d are device arrays (the
@@ -224,7 +261,20 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
             cross = cross[order]
             occs = occs[order]
             with timer.phase("gather"):
-                if rec_ok:
+                gk = gflag = None
+                if rec_ok and catalog is not None:
+                    vec = None
+                    gk_d, gf_d, meta, mpos = \
+                        counter.gather_crossing_keys_dev(occs)
+                    if catalog.fits(gk_d.shape[0]):
+                        catalog.append(gk_d, gf_d, len(occs))
+                    else:  # bounded catalog full: spill, go host from here
+                        _spill_catalog()
+                        gk = np.asarray(gk_d)[:len(occs)]
+                        gflag = np.asarray(gf_d)[:len(occs)]
+                        gk_d.delete()
+                        gf_d.delete()
+                elif rec_ok:
                     vec = None
                     gk, gflag, meta, mpos = counter.gather_crossing_keys(occs)
                 else:
@@ -240,8 +290,9 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                                                seqlen, shift0, shift1)
                 vec_ids.append(index_c)
                 if rec_ok:
-                    gk_arrs.append(gk)
-                    gf_arrs.append(gflag)
+                    if gk is not None:  # host-mode (no catalog, or spilled)
+                        gk_arrs.append(gk)
+                        gf_arrs.append(gflag)
                 else:
                     vec_arrs.append(vec)
             if not params.no_basespace:
@@ -323,21 +374,34 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
         nodes = table.dump(params.min_kmer_abundance)
         order = (np.argsort(np.concatenate(vec_ids), kind="stable")
                  if vec_ids else np.zeros(0, dtype=np.int64))
-        if rec_ok:
+        if rec_ok and catalog is not None and catalog.n > 0:
+            # device join: permute the catalog into id order on device, ship
+            # the POT list only (gfawriter applies presimp + symmetric drop)
+            assert catalog.n == len(nodes["index"]), \
+                "crossing set diverged from passing set"
+            pot, gk_p, gf_p = catalog.join(order.astype(np.int32))
+            stats["h2d_bytes"] = h2d_bytes = h2d_bytes + 4 * len(order)
+            arrays = pot.resolve()
+            if arrays is not None:
+                from .graph import IncrementalGFA
+
+                gfa = IncrementalGFA(cap_hint=len(nodes["index"]))
+                gfa.add_chunk(nodes["index"], nodes["abundance"],
+                              nodes["seqlen"], nodes["shift0"],
+                              nodes["shift1"], None)
+                g = gfa.finish_pot(f"{prefix}.gfa", params.presimp, *arrays)
+            else:  # some key group exceeded G_SLOTS: host join fallback
+                gk = np.asarray(gk_p)[: catalog.n]
+                gf = np.asarray(gf_p)[: catalog.n]
+                g = _host_join_gfa(prefix, params, nodes, gk, gf)
+        elif rec_ok:
             gk = (np.concatenate(gk_arrs) if gk_arrs
                   else np.zeros((0, 8), dtype=np.uint64))[order]
             gf = (np.concatenate(gf_arrs) if gf_arrs
                   else np.zeros(0, dtype=np.uint8))[order]
             assert len(gk) == len(nodes["index"]), \
                 "crossing set diverged from passing set"
-            from .graph import build_gfa_precomputed
-
-            Fs, Fp, FsR, FpR = gk[:, 0:2], gk[:, 2:4], gk[:, 4:6], gk[:, 6:8]
-            key_suf = np.where((gf & 1).astype(bool)[:, None], Fs, FsR)
-            key_pre = np.where((gf & 2).astype(bool)[:, None], Fp, FpR)
-            g = build_gfa_precomputed(
-                f"{prefix}.gfa", nodes,
-                (Fs, Fp, FsR, FpR, key_suf, key_pre), presimp=params.presimp)
+            g = _host_join_gfa(prefix, params, nodes, gk, gf)
         else:
             varr = (np.concatenate(vec_arrs) if vec_arrs
                     else np.zeros((0, params.k), dtype=np.uint64))[order]

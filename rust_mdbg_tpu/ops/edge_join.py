@@ -46,6 +46,101 @@ def _u128_where(cond, a, b):
 
 
 @functools.lru_cache(maxsize=None)
+def _append_jit():
+    import jax
+
+    def upd(cat_gk, cat_gf, gk, gf, off):
+        import jax.numpy as jnp
+
+        zero = jnp.int32(0)
+        cat_gk = jax.lax.dynamic_update_slice(cat_gk, gk, (off, zero))
+        cat_gf = jax.lax.dynamic_update_slice(cat_gf, gf, (off,))
+        return cat_gk, cat_gf
+
+    return jax.jit(upd, donate_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _permute_jit():
+    import jax
+
+    def perm(cat_gk, cat_gf, order):
+        return cat_gk[order], cat_gf[order]
+
+    return jax.jit(perm, donate_argnums=(0, 1))
+
+
+class DeviceKeyCatalog:
+    """Bounded device-resident overlap-key catalog for the chunked driver.
+
+    The chunked (>HBM) path assembles node metadata per chunk but used to
+    fetch every node's 65 B overlap fingerprints to the host for the GFA
+    edge join.  This catalog instead APPENDS each chunk's crossing keys on
+    device (rows arrive in crossing-occurrence order, i.e. node-id-assignment
+    order per chunk); at GFA time the host uploads the 4 B/node id-order
+    permutation and the device sort-join (edge_join_device) ships only the
+    ~12 B/candidate POT list.  Reference semantics: main.rs:1014-1106.
+
+    Bounded: `cap` rows (72 B each).  When a chunk would overflow, the caller
+    spills the catalog to host (one bulk fetch) and continues on the host
+    join — exactness is never at stake, only transfer volume.
+    """
+
+    def __init__(self, cap: int):
+        import jax.numpy as jnp
+
+        self.cap = int(cap)
+        self.n = 0
+        self._gk = jnp.zeros((self.cap, 8), jnp.uint64)
+        self._gf = jnp.zeros((self.cap,), jnp.uint8)
+
+    def fits(self, padded_rows: int) -> bool:
+        """Would an append of a `padded_rows`-row block still fit?  The
+        update block is written PADDED (next append overwrites the pad), so
+        the bound is on n + padded block, not n + n_new."""
+        return self.n + padded_rows <= self.cap
+
+    def append(self, gk_dev, gf_dev, n_new: int) -> None:
+        """gk_dev [p, 8] u64 / gf_dev [p] u8 device arrays, rows >= n_new
+        are padding.  Caller must have checked fits(p)."""
+        import jax.numpy as jnp
+
+        self._gk, self._gf = _append_jit()(
+            self._gk, self._gf, gk_dev, gf_dev, jnp.int32(self.n))
+        self.n += int(n_new)
+
+    def spill(self):
+        """Fetch the catalog to host: (gk [n,8] u64, gflag [n] u8) in append
+        order.  Invalidates the catalog (buffers freed)."""
+        gk = np.asarray(self._gk[: self.n])
+        gf = np.asarray(self._gf[: self.n])
+        self._gk.delete()
+        self._gf.delete()
+        self._gk = self._gf = None
+        return gk, gf
+
+    def join(self, order: np.ndarray):
+        """Permute the catalog into node-id order (order[r] = append-row of
+        the node with id-rank r) and dispatch the device edge join.  Returns
+        (PotJoin, permuted_gk, permuted_gf) — the permuted device arrays
+        serve the host-join fallback if the join overflows G_SLOTS."""
+        import jax.numpy as jnp
+
+        from .sort_count import PotJoin
+
+        n = len(order)
+        cap2 = 8
+        while cap2 < n:
+            cap2 <<= 1
+        cap2 = min(cap2, self.cap)
+        padded = np.zeros(cap2, dtype=np.int32)
+        padded[:n] = order
+        gk_p, gf_p = _permute_jit()(self._gk, self._gf, jnp.asarray(padded))
+        self._gk = self._gf = None  # donated
+        return PotJoin(gk_p, gf_p, n), gk_p, gf_p
+
+
+@functools.lru_cache(maxsize=None)
 def _jitted():
     import jax
 

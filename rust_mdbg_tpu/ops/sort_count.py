@@ -896,6 +896,23 @@ class DeviceNodeCounter:
         return (np.asarray(gk)[:n], np.asarray(gflag)[:n],
                 np.asarray(meta)[:n], np.asarray(mpos)[:n])
 
+    def gather_crossing_keys_dev(self, occs: np.ndarray):
+        """gather_crossing_keys variant for the chunked device edge join:
+        gk/gflag stay ON DEVICE (padded to the power-of-2 gather shape, rows
+        >= n are garbage) for a DeviceKeyCatalog append; only meta and mpos
+        cross to the host (the .sequences writer needs them now)."""
+        import jax.numpy as jnp
+
+        n = len(occs)
+        cap2 = 8
+        while cap2 < n:
+            cap2 <<= 1
+        padded = np.zeros(cap2, dtype=np.uint32)
+        padded[:n] = occs
+        gk, gflag, meta, mpos = self._gather_keys(
+            self.buffers[2], self.buffers[3], jnp.asarray(padded))
+        return gk, gflag, np.asarray(meta)[:n], np.asarray(mpos)[:n]
+
     def reset_chunk(self):
         """Sentinel-refill the key buffer for the next chunk (stale occ/mh/mp
         rows are unreachable: gathers only follow valid keys)."""

@@ -131,3 +131,32 @@ def test_chunked_minabund_gate():
                min_kmer_abundance=MAX_CHUNK_SLOTS + 1, engine="device")
     with pytest.raises(RuntimeError, match="occurrence slots"):
         assemble_device_chunked(EXAMPLE, p, "/tmp/never", chunk_reads=128)
+
+
+def test_chunked_device_join_byte_parity(tmp_path, monkeypatch):
+    """Device catalog + POT join == host km_index join, byte for byte
+    (ops/edge_join.DeviceKeyCatalog; reference semantics main.rs:1014-1106)."""
+    p = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2,
+               engine="device", reads_already_hpc=True)
+    pa = str(tmp_path / "hostjoin")
+    pb = str(tmp_path / "devjoin")
+    monkeypatch.setenv("MDBG_CHUNK_DEVICE_JOIN", "0")
+    assemble_device_chunked(EXAMPLE, p, pa, chunk_reads=192)
+    monkeypatch.setenv("MDBG_CHUNK_DEVICE_JOIN", "1")
+    assemble_device_chunked(EXAMPLE, p, pb, chunk_reads=192)
+    assert _gfa_bytes(pa) == _gfa_bytes(pb)
+    assert _node_content(pa) == _node_content(pb)
+
+
+def test_chunked_device_join_spill(tmp_path, monkeypatch):
+    """A tiny catalog cap forces the mid-run spill to the host join; output
+    must be unchanged."""
+    p = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2,
+               engine="device", reads_already_hpc=True)
+    pa = str(tmp_path / "full")
+    pb = str(tmp_path / "spill")
+    assemble_device_chunked(EXAMPLE, p, pa, chunk_reads=192)
+    monkeypatch.setenv("MDBG_CHUNK_CAT_CAP", "40")  # < nodes of chunk 1
+    assemble_device_chunked(EXAMPLE, p, pb, chunk_reads=192)
+    assert _gfa_bytes(pa) == _gfa_bytes(pb)
+    assert _node_content(pa) == _node_content(pb)
