@@ -316,13 +316,7 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     it = iter(stream_chunks(reads_path, chunk_reads, B, L, mean_len))
 
     def fetch_and_stage():
-        """Pull the next parsed chunk and push it over the H2D link.
-
-        Synchronous by design: overlapping the next chunk's transfer with
-        device work from a second thread was measured SLOWER through this
-        environment's single-stream device link (bulk transfers queue ahead
-        of compute dispatches and stall them); the parse itself already
-        overlaps via the stream_chunks prefetch thread."""
+        """Pull the next parsed chunk and push it over the H2D link."""
         while True:
             tup = next(it, None)
             if tup is None:
@@ -353,10 +347,42 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
             lens_d = jax.device_put(lens)
             return staged, lens_d, blob, blob_off, fill, Lc
 
+    # Double-buffered feed (default on): a staging thread packs and ships
+    # chunk N+1 over the H2D link while the main thread runs chunk N's
+    # device construct + host merge/emit — feed-wait drops to residual
+    # backpressure.  Cost: up to one extra staged chunk resident on host
+    # and device (queue depth 1).  MDBG_CHUNK_FEED_OVERLAP=0 restores the
+    # serial feed (useful when a single-stream dev relay makes bulk H2D
+    # stall the per-chunk D2H fetches).
+    overlap = _os2.environ.get("MDBG_CHUNK_FEED_OVERLAP", "1") != "0"
+    if overlap:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+
+        def _stager():
+            while True:
+                try:
+                    item = fetch_and_stage()
+                except BaseException as e:  # surfaced on the main thread
+                    q.put(e)
+                    return
+                q.put(item)
+                if item is None:
+                    return
+
+        threading.Thread(target=_stager, daemon=True).start()
+        get_item = q.get
+    else:
+        get_item = fetch_and_stage
+
     with timer.phase("stream"):
         while True:
             with timer.phase("feed-wait"):
-                item = fetch_and_stage()
+                item = get_item()
+            if isinstance(item, BaseException):
+                raise item
             if item is None:
                 break
             nb_reads += item[4]

@@ -410,19 +410,33 @@ class PhasedEmitter:
         here).  None from edge_join, or resolve() returning None
         (G_SLOTS group overflow), falls back to the host km_index join with
         a full fingerprint fetch from the final finalize (covers all ids)."""
+        import os as _os
+        import time as _time
+
+        detail = _os.environ.get("MDBG_BENCH_DETAIL")
+        t0 = _time.perf_counter()
         self.gfa.set_abundance(counts)
         if self.device_join:
             arrays = pot.resolve() if pot is not None else None
+            t1 = _time.perf_counter()
             if arrays is not None:
                 g = self.gfa.finish_pot(f"{self.prefix}.gfa",
                                         self.params.presimp, *arrays)
             else:
                 g = self._finish_host_join(counts)
         else:
+            t1 = _time.perf_counter()
             g = self.gfa.finish(f"{self.prefix}.gfa",
                                 presimp=self.params.presimp)
+        t2 = _time.perf_counter()
         for t in self.writers:
             t.join()
+        if detail:
+            import sys as _sys
+
+            print(f"# finish: resolve={t1 - t0:.3f} gfa={t2 - t1:.3f} "
+                  f"writer_join={_time.perf_counter() - t2:.3f}",
+                  file=_sys.stderr)
         if self.errors:
             import warnings
 

@@ -562,17 +562,25 @@ class PotJoin:
         return res
 
     def resolve(self):
+        import os
+        import sys
+
         res = self._res
         n_pot, g_over = (int(x) for x in np.asarray(res["stats2"]))
         if g_over > 0:
             return None
+        reran = 0
         while n_pot > self._cap:  # rare: re-run with a doubled cap
             while self._cap < n_pot:
                 self._cap *= 2
             res = self._dispatch(self._cap)
+            reran += 1
             n_pot, g_over = (int(x) for x in np.asarray(res["stats2"]))
             if g_over > 0:
                 return None
+        if os.environ.get("MDBG_BENCH_DETAIL"):
+            print(f"# pot: n_pot={n_pot} cap={self._cap} reran={reran}",
+                  file=sys.stderr)
         return tuple(np.asarray(res[name])[:n_pot]
                      for name in ("pot_i", "pot_j", "pot_c"))
 

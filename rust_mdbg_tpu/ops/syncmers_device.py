@@ -138,20 +138,30 @@ def syncmer_select_jax(hpc_codes, hpc_len, *, l: int, s: int, bound: int):
         [jnp.zeros((B, 1), bool), valid_l[:, :-1]], axis=1)
     run_start = valid_l & ~prev_valid
 
-    # incumbent automaton: scan over the window axis with a [B] int32 carry
-    # (see module docstring) — every window's jump TARGETS are precomputed,
-    # so each step is a handful of [B]-wide selects
-    def step(inc, xs):
-        a, lp, rp, st, sn = xs
-        evicted = inc < a
-        inc = jnp.where(st, lp, jnp.where(sn | evicted, rp, inc))
-        return inc, inc
+    # incumbent automaton — every window's jump TARGETS are precomputed, so
+    # each step is a handful of [B]-wide selects.  Production engine: Pallas
+    # kernel with the scan on the minor axis (register-speed steps,
+    # ops/pallas_kernels.incumbent_scan_pallas); oracle/fallback: lax.scan
+    # over the window axis with a [B] int32 carry (~2 s per [512, 50k]
+    # batch — the scan-step dispatch overhead, not the vector work).
+    import os
 
-    xs = (jnp.arange(L, dtype=jnp.int32), lpos.T, rpos.T,
-          run_start.T, strict_new.T)
-    inc0 = jnp.full((B,), jnp.int32(-(1 << 30)))
-    _, incT = jax.lax.scan(step, inc0, xs)
-    incumbent = incT.T
+    if os.environ.get("MDBG_SYNCMER_PALLAS", "1") != "0":
+        from .pallas_kernels import incumbent_scan_pallas
+
+        incumbent = incumbent_scan_pallas(lpos, rpos, run_start, strict_new)
+    else:
+        def step(inc, xs):
+            a, lp, rp, st, sn = xs
+            evicted = inc < a
+            inc = jnp.where(st, lp, jnp.where(sn | evicted, rp, inc))
+            return inc, inc
+
+        xs = (jnp.arange(L, dtype=jnp.int32), lpos.T, rpos.T,
+              run_start.T, strict_new.T)
+        inc0 = jnp.full((B,), jnp.int32(-(1 << 30)))
+        _, incT = jax.lax.scan(step, inc0, xs)
+        incumbent = incT.T
 
     sel = valid_l & (incumbent == idx[None, :] + (t - 1)) & passed
     return hl, sel

@@ -153,3 +153,29 @@ def test_device_syncmers_full_pipeline(tmp_path):
     sb = assemble(EXAMPLE, ph.replace(engine="device"), pb)
     assert sa["nb_nodes"] == sb["nb_nodes"] > 0
     assert open(pa + ".gfa").read() == open(pb + ".gfa").read()
+
+
+def test_syncmer_pallas_incumbent_matches_scan(monkeypatch):
+    """The Pallas incumbent kernel (ops/pallas_kernels.incumbent_scan_pallas)
+    == the lax.scan oracle, bit for bit, on random inputs including N runs
+    and ragged lengths (reference automaton read.rs:215-352)."""
+    import jax.numpy as jnp
+
+    from rust_mdbg_tpu.ops.syncmers_device import syncmer_select_jax
+
+    rng = np.random.default_rng(99)
+    B, L = 24, 700  # deliberately NOT multiples of the kernel blocks
+    codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    codes[rng.random((B, L)) < 0.02] = 4  # N bases -> run restarts
+    lens = rng.integers(40, L + 1, B).astype(np.int32)
+
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("MDBG_SYNCMER_PALLAS", mode)
+        canon, sel = syncmer_select_jax(
+            jnp.asarray(codes), jnp.asarray(lens), l=10, s=4,
+            bound=(1 << 20) * 40)
+        outs[mode] = (np.asarray(canon), np.asarray(sel))
+    assert np.array_equal(outs["0"][0], outs["1"][0])
+    assert np.array_equal(outs["0"][1], outs["1"][1])
+    assert outs["0"][1].any()
