@@ -52,7 +52,9 @@ def run_ec_scale(genome_mbp: float, coverage: float = 30,
     stats = assemble(reads, p, prefix)
     t_run = time.perf_counter() - t1
     phases = stats.get("phases", {})
+    acc = accuracy_summary(prefix, p, genome_mbp, read_len, seed=seed)
     return dict(
+        **acc,
         genome_mbp=genome_mbp, coverage=coverage, read_len=read_len,
         error_rate=error_rate, device_poa=device_poa,
         total_gbp=round(info["total_bases"] / 1e9, 4),
@@ -62,6 +64,82 @@ def run_ec_scale(genome_mbp: float, coverage: float = 30,
         nb_nodes=stats.get("nb_nodes"), nb_edges=stats.get("nb_edges"),
         max_rss_gb=round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
+    )
+
+
+def _stream_ec(path):
+    """(id, transformed-hash list) per record of a 5-line .ec_data file."""
+    with open(path) as f:
+        while True:
+            rid = f.readline()
+            if not rid:
+                return
+            f.readline()  # seq
+            tr = f.readline()
+            f.readline()  # minimizer strings
+            f.readline()  # positions
+            yield rid.strip(), [int(x) for x in tr.split()]
+
+
+def accuracy_summary(prefix: str, p, genome_mbp: float, read_len: int,
+                     sample: int = 200, seed: int = 0) -> dict:
+    """Before/after EC identity (the evaluate_ec metric) on a read sample.
+
+    Each sampled read's RAW (pre-correction, prefix.ec_data) and CORRECTED
+    (prefix.postcor.ec_data) minimizer-hash sequence is semiglobal-NW
+    aligned (eval/evaluate_ec.blast_identity) against the TRUE read's
+    minimizer sequence — the error-free genome slice at the start position
+    embedded in the synthetic read id (experiments/synth.py id format
+    r<i>_<start>).  Reference metric: utils/evaluate_ec.py BLAST identity."""
+    import numpy as np
+
+    from ..core.extract import extract_windows_host
+    from ..eval.evaluate_ec import blast_identity
+
+    cor = {}
+    for rid, tr in _stream_ec(f"{prefix}.postcor.ec_data"):
+        if len(cor) >= sample:
+            break
+        cor[rid] = tr
+    raw = {}
+    for rid, tr in _stream_ec(f"{prefix}.ec_data"):
+        if rid in cor:
+            raw[rid] = tr
+            if len(raw) == len(cor):
+                break
+
+    # true reads: same seed => same genome draw (experiments/synth.py)
+    rng = np.random.default_rng(seed)
+    G = int(genome_mbp * 1_000_000)
+    genome = rng.integers(0, 4, G, dtype=np.int64).astype(np.uint8)
+    ids = sorted(raw)
+    starts = [int(r.rsplit("_", 1)[1]) for r in ids]
+    codes = np.stack([genome[s : s + read_len] for s in starts])
+
+    class _B:
+        pass
+
+    b = _B()
+    b.codes = codes
+    b.lengths = np.full(len(ids), read_len, dtype=np.int32)
+    b.ids = ids
+    b.raw = []
+    b.start_index = 0
+    wb = extract_windows_host(b, p)
+
+    before = []
+    after = []
+    for row, rid in enumerate(ids):
+        m = wb.minimizers[row]
+        if m is None:
+            continue
+        true_h = [int(x) for x in m[1]]
+        before.append(blast_identity(true_h, raw[rid]))
+        after.append(blast_identity(true_h, cor[rid]))
+    return dict(
+        ec_sampled_reads=len(before),
+        ec_before_identity=round(float(np.mean(before)), 2),
+        ec_after_identity=round(float(np.mean(after)), 2),
     )
 
 

@@ -155,92 +155,3 @@ def nthash_select_pallas(codes, l: int, hash_bound: int, lengths=None,
     )(codes, codes, lengths2d)
     canon = canon_lo.astype(jnp.uint64) | (canon_hi.astype(jnp.uint64) << 32)
     return canon, sel.astype(bool)
-
-
-# ---------------------------------------------------------------- syncmers
-
-SB = 128    # reads per block of the incumbent scan (lane dim)
-SC = 512    # window positions per grid step (sublane-dim rows)
-
-
-def _incumbent_kernel(lpos_ref, rpos_ref, flags_ref, out_ref, inc_ref):
-    """Sequential incumbent automaton over SC window positions (one grid
-    step), reads on the LANE axis: per position j the update is a handful of
-    [SB]-wide VPU selects, so the whole scan is register-speed instead of a
-    50k-step lax.scan (ops/syncmers_device.py module docstring; reference
-    state machine read.rs:215-352).
-
-    Layout: inputs transposed to [L, B]; inc carry [1, SB] persists across
-    the L grid dimension (sequential) and re-initializes at li == 0."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-
-    li = pl.program_id(1)
-
-    @pl.when(li == 0)
-    def _():
-        inc_ref[...] = jnp.full_like(inc_ref, -(1 << 30))
-
-    base = li * SC
-
-    def body(j, inc):
-        lp = lpos_ref[j, :]
-        rp = rpos_ref[j, :]
-        fl = flags_ref[j, :]
-        a = base + j
-        evicted = inc < a
-        take_r = ((fl & 2) != 0) | evicted
-        inc = jnp.where((fl & 1) != 0, lp, jnp.where(take_r, rp, inc))
-        out_ref[j, :] = inc
-        return inc
-
-    inc_ref[0, :] = jax.lax.fori_loop(0, SC, body, inc_ref[0, :])
-
-
-@functools.lru_cache(maxsize=None)
-def _incumbent_call(nL: int, nB: int, interpret: bool):
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    L, B = nL * SC, nB * SB
-    spec = pl.BlockSpec((SC, SB), lambda bi, li: (li, bi))
-    return pl.pallas_call(
-        _incumbent_kernel,
-        interpret=interpret,
-        grid=(nB, nL),  # L innermost: sequential carry per read block
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, SB), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-    )
-
-
-def incumbent_scan_pallas(lpos, rpos, run_start, strict_new, interpret=None):
-    """incumbent[b, a] for the open-syncmer automaton, [B, L] i32.
-
-    lpos/rpos: leftmost/rightmost argmin targets per window; run_start:
-    window starts an N-free run (take lpos); strict_new: new element is the
-    strict window minimum (take rpos).  Exact parity with the lax.scan
-    incumbent in ops/syncmers_device.py (the oracle)."""
-    import jax
-    import jax.numpy as jnp
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    B, L = lpos.shape
-    Bp = -(-B // SB) * SB
-    Lp = -(-L // SC) * SC
-    flags = (run_start.astype(jnp.int32)
-             | (strict_new.astype(jnp.int32) << 1))
-
-    def pad2(x):
-        return jnp.pad(x.T, ((0, Lp - L), (0, Bp - B)))
-
-    out = _incumbent_call(Lp // SC, Bp // SB, bool(interpret))(
-        pad2(lpos), pad2(rpos), pad2(flags))
-    return out[:L, :B].T

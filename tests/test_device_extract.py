@@ -155,27 +155,29 @@ def test_device_syncmers_full_pipeline(tmp_path):
     assert open(pa + ".gfa").read() == open(pb + ".gfa").read()
 
 
-def test_syncmer_pallas_incumbent_matches_scan(monkeypatch):
-    """The Pallas incumbent kernel (ops/pallas_kernels.incumbent_scan_pallas)
-    == the lax.scan oracle, bit for bit, on random inputs including N runs
-    and ragged lengths (reference automaton read.rs:215-352)."""
+@pytest.mark.parametrize("l,s", [(10, 4), (12, 2), (8, 7)])
+def test_syncmer_blocked_incumbent_matches_scan(monkeypatch, l, s):
+    """The blocked transfer-table incumbent engine == the lax.scan oracle,
+    bit for bit, on random inputs including N runs and ragged lengths
+    (reference automaton read.rs:215-352).  Sizes deliberately not chunk
+    (C=512) multiples; includes L < C and L >> C."""
     import jax.numpy as jnp
 
     from rust_mdbg_tpu.ops.syncmers_device import syncmer_select_jax
 
     rng = np.random.default_rng(99)
-    B, L = 24, 700  # deliberately NOT multiples of the kernel blocks
-    codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
-    codes[rng.random((B, L)) < 0.02] = 4  # N bases -> run restarts
-    lens = rng.integers(40, L + 1, B).astype(np.int32)
+    for B, L in ((24, 300), (8, 1700)):
+        codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
+        codes[rng.random((B, L)) < 0.02] = 4  # N bases -> run restarts
+        lens = rng.integers(40, L + 1, B).astype(np.int32)
 
-    outs = {}
-    for mode in ("0", "1"):
-        monkeypatch.setenv("MDBG_SYNCMER_PALLAS", mode)
-        canon, sel = syncmer_select_jax(
-            jnp.asarray(codes), jnp.asarray(lens), l=10, s=4,
-            bound=(1 << 20) * 40)
-        outs[mode] = (np.asarray(canon), np.asarray(sel))
-    assert np.array_equal(outs["0"][0], outs["1"][0])
-    assert np.array_equal(outs["0"][1], outs["1"][1])
-    assert outs["0"][1].any()
+        outs = {}
+        for mode in ("scan", "blocked"):
+            monkeypatch.setenv("MDBG_SYNCMER_ENGINE", mode)
+            canon, sel = syncmer_select_jax(
+                jnp.asarray(codes), jnp.asarray(lens), l=l, s=s,
+                bound=(1 << 20) * 40)
+            outs[mode] = (np.asarray(canon), np.asarray(sel))
+        assert np.array_equal(outs["scan"][0], outs["blocked"][0])
+        assert np.array_equal(outs["scan"][1], outs["blocked"][1])
+        assert outs["scan"][1].any()
