@@ -25,7 +25,24 @@ import time
 def run_ec_scale(genome_mbp: float, coverage: float = 30,
                  read_len: int = 10000, error_rate: float = 0.01,
                  device_poa: bool = True, ec_chunk: int = 64,
-                 workdir: str | None = None, seed: int = 0) -> dict:
+                 workdir: str | None = None, seed: int = 0,
+                 platform: str | None = None) -> dict:
+    if platform:
+        # the axon sitecustomize force-registers the TPU backend and
+        # overrides JAX_PLATFORMS; the config update below wins (see
+        # tests/conftest.py) — pass platform="cpu" for a host-only run
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    try:
+        import jax
+
+        cache = os.path.expanduser("~/.cache/rust_mdbg_tpu/jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from ..core.pipeline import assemble
     from ..params import Params
     from .synth import write_synthetic_reads
@@ -153,9 +170,13 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--ec-chunk", type=int, default=64)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform pin, e.g. cpu (the axon sitecustomize"
+                         " ignores JAX_PLATFORMS)")
     a = ap.parse_args(argv)
     res = run_ec_scale(a.genome_mbp, a.coverage, a.read_len, a.error_rate,
-                       a.device_poa, a.ec_chunk, a.workdir)
+                       a.device_poa, a.ec_chunk, a.workdir,
+                       platform=a.platform)
     line = json.dumps(res)
     print(line)
     if a.out:

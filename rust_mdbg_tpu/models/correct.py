@@ -31,11 +31,14 @@ DIST_THRESHOLD = 0.15
 MAX_POA_READS = 80
 
 
-def dist(a_transformed, b_transformed, params) -> float:
-    s1 = set(a_transformed)
-    s2 = set(b_transformed)
+def dist(a_transformed, b_transformed, params, sets=None) -> float:
+    """sets: optional (set_a, set_b) precomputed (EcRead.tset) — the values
+    are ignored for membership, only |∩| / |∪| are taken, so passing cached
+    sets is exact."""
+    s1, s2 = sets if sets is not None else (set(a_transformed),
+                                            set(b_transformed))
     inter = len(s1 & s2)
-    union = len(s1 | s2)
+    union = len(s1) + len(s2) - inter
     if params.distance == 0:
         return 1.0 - inter / union
     if params.distance == 1:
@@ -47,7 +50,7 @@ def dist(a_transformed, b_transformed, params) -> float:
 
 
 class EcRead:
-    __slots__ = ("id", "seq", "transformed", "pos", "corrected")
+    __slots__ = ("id", "seq", "transformed", "pos", "corrected", "_tset")
 
     def __init__(self, rid, seq, transformed, pos):
         self.id = rid
@@ -55,6 +58,16 @@ class EcRead:
         self.transformed = [int(x) for x in transformed]
         self.pos = [int(x) for x in pos]
         self.corrected = False
+        self._tset = None
+
+    @property
+    def tset(self) -> frozenset:
+        """Cached minimizer set — the recruit distance filter touches every
+        (template, candidate) pair, and rebuilding both sets per pair was
+        the top EC profile line (634k set constructions per 0.3 Mbp)."""
+        if self._tset is None:
+            self._tset = frozenset(self.transformed)
+        return self._tset
 
 
 def _recruit(read: EcRead, buckets, params, reads_by_id):
@@ -71,8 +84,10 @@ def _recruit(read: EcRead, buckets, params, reads_by_id):
             if q.id not in added:
                 bucket_reads.append(q)
                 added.add(q.id)
+    tset = read.tset
     with_dist = [
-        (q, dist(template, q.transformed, params)) for q in bucket_reads
+        (q, dist(template, q.transformed, params, sets=(tset, q.tset)))
+        for q in bucket_reads
     ]
     with_dist = [t for t in with_dist if t[1] < DIST_THRESHOLD]
     with_dist.sort(key=lambda t: t[1])

@@ -51,17 +51,22 @@ def extract_density_np(
     idx = np.nonzero(sel)[0]
     hashes = canon[idx]
     if minimizer_to_int is not None:
-        from ..utils.seq import decode_bases
+        from ..utils.seq import CODE_BASE
 
         keep = np.ones(idx.shape[0], dtype=bool)
         remapped = hashes.copy()
-        for j, i in enumerate(idx):
-            lmer = decode_bases(hpc[i : i + l])
-            v = minimizer_to_int.get(lmer)
-            if v is None:
-                keep[j] = False
-            else:
-                remapped[j] = np.uint64(v)
+        # decode every selected l-mer in one vectorized gather (a per-l-mer
+        # decode_bases call was a top line of the EC profile)
+        if idx.size:
+            win = hpc[idx[:, None] + np.arange(l, dtype=np.int64)[None, :]]
+            ascii_all = CODE_BASE[win].tobytes().decode()
+            get = minimizer_to_int.get
+            for j in range(idx.shape[0]):
+                v = get(ascii_all[j * l : (j + 1) * l])
+                if v is None:
+                    keep[j] = False
+                else:
+                    remapped[j] = np.uint64(v)
         idx, hashes = idx[keep], remapped[keep]
     return pos_map[idx], hashes
 

@@ -234,7 +234,7 @@ def poa_semiglobal_device(graphs, queries, *, ge=-1, match=1, mismatch=-1):
     for gi, (g, q) in enumerate(zip(graphs, queries)):
         wts[gi], pred[gi], topo[gi], nn[gi], term[gi] = export_graph(g, N, P)
         qlen[gi] = len(q)
-        qarr[gi, : len(q)] = np.asarray([int(x) for x in q], dtype=np.uint64)
+        qarr[gi, : len(q)] = np.asarray(q, dtype=np.uint64)
 
     fn = _dp_batched(N, P, M, ge, match, mismatch)
     out = fn(jnp.asarray(wts), jnp.asarray(pred), jnp.asarray(topo),
