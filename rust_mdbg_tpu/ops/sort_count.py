@@ -159,12 +159,13 @@ def _scan_min_i32_rev_excl(x, fill: int):
     return y[..., ::-1]
 
 
-def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
+def _finalize_compact(b_lo, b_hi, b_occ, b_mh, b_mp, *, k, M, minab,
                       node_cap, pass_cap, emit_mpos=False, prefix_rows=None,
                       mpos_u16=False):
     """Sort + segment-reduce for the single-chip compact layout.
 
-    b_keys [read_cap*W_slot, 2] batch-compacted (valid windows packed to the
+    b_lo/b_hi [read_cap*W_slot] batch-compacted key halves (valid windows
+    packed to the
     front of each batch slot, sentinel elsewhere), b_occ the matching
     original window coordinates occ = read_row*W + w, b_mh/b_mp
     [read_cap, M].  Crossing-occurrence metadata is reconstructed by
@@ -195,12 +196,13 @@ def _finalize_compact(b_keys, b_occ, b_mh, b_mp, *, k, M, minab,
 
     del node_cap
     if prefix_rows is not None:
-        b_keys = b_keys[:prefix_rows]
+        b_lo = b_lo[:prefix_rows]
+        b_hi = b_hi[:prefix_rows]
         b_occ = b_occ[:prefix_rows]
-    N = b_keys.shape[0]
+    N = b_lo.shape[0]
     pass_cap = min(pass_cap, N - 1)
-    lo = b_keys[:, 0]
-    hi = b_keys[:, 1]
+    lo = b_lo
+    hi = b_hi
     occ = b_occ
     # sort by (key128, occ): occ as an explicit THIRD key replaces stability
     # (occ is the global window coordinate — unique per valid row and
@@ -298,7 +300,7 @@ def _overlap_keys_device(canon_vec):
     return gk, gflag
 
 
-def _finalize_chunk(b_keys, b_occ, *, node_cap, slots=2):
+def _finalize_chunk(b_lo, b_hi, b_occ, *, node_cap, slots=2):
     """Per-chunk reduction for the >HBM chunked-counting path: compact the
     chunk's UNIQUE keys (with per-chunk counts and the window occurrences of
     their first `slots` in-chunk appearances) in first-occurrence order.
@@ -318,10 +320,10 @@ def _finalize_chunk(b_keys, b_occ, *, node_cap, slots=2):
     import jax
     import jax.numpy as jnp
 
-    N = b_keys.shape[0]
+    N = b_lo.shape[0]
     node_cap = min(node_cap, N - 1)
-    lo = b_keys[:, 0]
-    hi = b_keys[:, 1]
+    lo = b_lo
+    hi = b_hi
     occ = b_occ
     slo, shi, socc = jax.lax.sort((lo, hi, occ), num_keys=3)
     sval = ~((slo == ~jnp.uint64(0)) & (shi == ~jnp.uint64(0)))
@@ -475,7 +477,7 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
         read_base = jnp.asarray(read_base).astype(jnp.int32)
 
         def body(i, carry):
-            (b_keys, b_occ, b_mh, b_mp), n_win, n_over = carry
+            (b_lo, b_hi, b_occ, b_mh, b_mp), n_win, n_over = carry
             if packed:
                 pk, mk = all_codes
                 p_b = jax.lax.dynamic_slice(pk, (i * B, 0), (B, L // 4))
@@ -505,8 +507,12 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
             w = pos - offs[row]
             valid = pos < jnp.minimum(nv, S)
             src = jnp.clip(row * W + w, 0, B * W - 1)
+            # keys kept as separate lo/hi [N] planes: a [N, 2] u64 buffer
+            # tiles as T(8,128) on TPU — the minor dim 2 pads 64x and one
+            # layout-assigned copy of it OOMs HBM at whole-run shapes
             keys_flat = out["keys"].reshape(B * W, 2)
-            kc = jnp.where(valid[:, None], keys_flat[src], sentinel)
+            kc_lo = jnp.where(valid, keys_flat[src, 0], sentinel)
+            kc_hi = jnp.where(valid, keys_flat[src, 1], sentinel)
             occ = jnp.where(
                 valid,
                 ((row0 + row) * W + w).astype(jnp.uint32),
@@ -514,8 +520,8 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
             )
 
             slot0 = (read_base + i * B) * W_slot
-            b_keys = jax.lax.dynamic_update_slice(
-                b_keys, kc, (slot0, jnp.int32(0)))
+            b_lo = jax.lax.dynamic_update_slice(b_lo, kc_lo, (slot0,))
+            b_hi = jax.lax.dynamic_update_slice(b_hi, kc_hi, (slot0,))
             b_occ = jax.lax.dynamic_update_slice(b_occ, occ, (slot0,))
             b_mh = jax.lax.dynamic_update_slice(
                 b_mh, out["mh"], (row0, jnp.int32(0)))
@@ -523,7 +529,7 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
                 b_mp, out["mp"], (row0, jnp.int32(0)))
             n_over = (n_over + out["overflow"].sum().astype(jnp.int32)
                       + (nv > S).astype(jnp.int32))
-            return (b_keys, b_occ, b_mh, b_mp), \
+            return (b_lo, b_hi, b_occ, b_mh, b_mp), \
                 n_win + jnp.minimum(nv, S), n_over
 
         bufs, n_win, n_over = jax.lax.fori_loop(
@@ -620,7 +626,8 @@ class DeviceNodeCounter:
         self._jax = jax
         # sentinel-filled keys: untouched tail rows drop out in finalize
         self.buffers = (
-            jnp.full((self.window_cap, 2), ~jnp.uint64(0), dtype=jnp.uint64),
+            jnp.full((self.window_cap,), ~jnp.uint64(0), dtype=jnp.uint64),
+            jnp.full((self.window_cap,), ~jnp.uint64(0), dtype=jnp.uint64),
             jnp.full((self.window_cap,), 0xFFFFFFFF, dtype=jnp.uint32),
             jnp.zeros((read_cap, M), dtype=jnp.uint64),
             jnp.zeros((read_cap, M), dtype=jnp.int32),
@@ -674,10 +681,13 @@ class DeviceNodeCounter:
 
         @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
         def widen(buffers, new_cap):
-            b_keys, b_occ, b_mh, b_mp = buffers
-            nk = jnp.full((new_cap * self.W_slot, 2), ~jnp.uint64(0),
-                          dtype=jnp.uint64)
-            nk = jax.lax.dynamic_update_slice(nk, b_keys, (0, 0))
+            b_lo, b_hi, b_occ, b_mh, b_mp = buffers
+            nlo = jnp.full((new_cap * self.W_slot,), ~jnp.uint64(0),
+                           dtype=jnp.uint64)
+            nlo = jax.lax.dynamic_update_slice(nlo, b_lo, (0,))
+            nhi = jnp.full((new_cap * self.W_slot,), ~jnp.uint64(0),
+                           dtype=jnp.uint64)
+            nhi = jax.lax.dynamic_update_slice(nhi, b_hi, (0,))
             no = jnp.full((new_cap * self.W_slot,), 0xFFFFFFFF,
                           dtype=jnp.uint32)
             no = jax.lax.dynamic_update_slice(no, b_occ, (0,))
@@ -685,7 +695,7 @@ class DeviceNodeCounter:
             nh = jax.lax.dynamic_update_slice(nh, b_mh, (0, 0))
             np_ = jnp.zeros((new_cap, self.M), dtype=jnp.int32)
             np_ = jax.lax.dynamic_update_slice(np_, b_mp, (0, 0))
-            return (nk, no, nh, np_)
+            return (nlo, nhi, no, nh, np_)
 
         self.buffers = widen(self.buffers, new_cap)
         self.read_cap = new_cap
@@ -832,7 +842,8 @@ class DeviceNodeCounter:
         in first-occurrence order.  Fetches the n_unique prefix (power-of-2
         slice shapes); the [node_cap, chunk_slots] occurrence matrix stays on
         device — occ_at_chunk gathers crossing rows after the host merge."""
-        out = self._finalize_chunk(self.buffers[0], self.buffers[1])
+        out = self._finalize_chunk(self.buffers[0], self.buffers[1],
+                                   self.buffers[2])
         n_unique, overflow = (int(x) for x in np.asarray(out["stats2"]))
         if overflow > 0:
             raise RuntimeError("chunk unique keys exceeded window capacity")
@@ -879,7 +890,7 @@ class DeviceNodeCounter:
             cap2 <<= 1
         padded = np.zeros(cap2, dtype=np.uint32)
         padded[:n] = occs
-        vec, meta = self._gather(self.buffers[2], self.buffers[3],
+        vec, meta = self._gather(self.buffers[3], self.buffers[4],
                                  jnp.asarray(padded))
         return np.asarray(vec)[:n], np.asarray(meta)[:n]
 
@@ -900,7 +911,7 @@ class DeviceNodeCounter:
         padded = np.zeros(cap2, dtype=np.uint32)
         padded[:n] = occs
         gk, gflag, meta, mpos = self._gather_keys(
-            self.buffers[2], self.buffers[3], jnp.asarray(padded))
+            self.buffers[3], self.buffers[4], jnp.asarray(padded))
         return (np.asarray(gk)[:n], np.asarray(gflag)[:n],
                 np.asarray(meta)[:n], np.asarray(mpos)[:n])
 
@@ -918,7 +929,7 @@ class DeviceNodeCounter:
         padded = np.zeros(cap2, dtype=np.uint32)
         padded[:n] = occs
         gk, gflag, meta, mpos = self._gather_keys(
-            self.buffers[2], self.buffers[3], jnp.asarray(padded))
+            self.buffers[3], self.buffers[4], jnp.asarray(padded))
         return gk, gflag, np.asarray(meta)[:n], np.asarray(mpos)[:n]
 
     def reset_chunk(self):
@@ -927,5 +938,6 @@ class DeviceNodeCounter:
         if self._chunk_occs is not None:
             self._chunk_occs.delete()
             self._chunk_occs = None
-        b_keys, b_occ, b_mh, b_mp = self.buffers
-        self.buffers = (self._refill(b_keys), b_occ, b_mh, b_mp)
+        b_lo, b_hi, b_occ, b_mh, b_mp = self.buffers
+        self.buffers = (self._refill(b_lo), self._refill(b_hi),
+                        b_occ, b_mh, b_mp)
