@@ -67,7 +67,9 @@ def _permute_jit():
     def perm(cat_gk, cat_gf, order):
         return cat_gk[order], cat_gf[order]
 
-    return jax.jit(perm, donate_argnums=(0, 1))
+    # no donation: the gather output has the (smaller, pow2-bucketed) order
+    # shape, so the catalog buffers can never be reused in place
+    return jax.jit(perm)
 
 
 class DeviceKeyCatalog:
