@@ -264,6 +264,25 @@ def main():
                                       key=lambda r: r[0]["wall"])
     t_loop, t_construct, t_seqw = tm["loop"], tm["construct"], tm["seqw"]
 
+    # secondary: the pure device construction rate — the same fused loop
+    # over the full staged input with NO host emission or finalize fetches
+    # in the timed window (one dispatch, block on the result).  This is the
+    # chip's construction rate that the wall number approaches as the
+    # host/link overheads (phase emission CPU, relay D2H) shrink on
+    # production hosts; reported as its own captured metric, never as the
+    # headline.
+    counter.buffers = (counter._refill(counter.buffers[0]),
+                       counter._refill(counter.buffers[1]),
+                       *counter.buffers[2:])
+    jax.block_until_ready(counter.buffers)
+    td0 = time.perf_counter()
+    bufs, _nf, ov = construct(all_codes, all_lengths, counter.buffers,
+                              0, 0, n_batches)
+    jax.block_until_ready(bufs)
+    t_dev_loop = time.perf_counter() - td0
+    counter.buffers = bufs
+    device_loop_gbps = total_bases / t_dev_loop / 1e9
+
     # secondary: host->device feed rates through this environment's relay.
     # (a) raw link rate on a one-batch slab; (b) a MEASURED full-input feed
     # of the packed 2-bit planes (what the chunked CLI driver actually
@@ -307,6 +326,8 @@ def main():
         "h2d_gbps": round(h2d_gbps, 4),
         "feed_s": round(t_feed, 2),
         "feed_incl_gbps": round(feed_incl_gbps, 4),
+        "device_loop_s": round(t_dev_loop, 2),
+        "device_loop_gbps": round(device_loop_gbps, 4),
     }))
 
 

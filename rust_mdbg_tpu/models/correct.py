@@ -208,6 +208,16 @@ def run_error_correction_lockstep(prefix, params, int_to_minimizer, buckets,
     }
     postcor = ec_data.EcWriter(f"{prefix}.postcor")
     poa_file = ec_data.EcWriter(f"{prefix}.poa")
+    # At genome scale the resident structures (reads_by_id, buckets, the
+    # parsed records) hold 10^8+ Python objects; every generational GC pass
+    # walks them all, which collapsed throughput ~100x at 100 Mbp.  They
+    # are acyclic (refcounting frees them) — freeze them out of the GC and
+    # let the correction loop run with the collector off.
+    import gc
+
+    gc.collect()
+    gc.freeze()
+    gc.disable()
     corrected_map: dict = {}
     poa_map: dict = {}
     CH = max(1, int(getattr(params, "ec_chunk", 32)))
@@ -261,6 +271,8 @@ def run_error_correction_lockstep(prefix, params, int_to_minimizer, buckets,
     postcor.close()
     poa_file.flush()
     poa_file.close()
+    gc.enable()
+    gc.unfreeze()
 
 
 def run_error_correction(prefix, params, int_to_minimizer, buckets,
@@ -276,6 +288,16 @@ def run_error_correction(prefix, params, int_to_minimizer, buckets,
     }
     postcor = ec_data.EcWriter(f"{prefix}.postcor")
     poa_file = ec_data.EcWriter(f"{prefix}.poa")
+    # At genome scale the resident structures (reads_by_id, buckets, the
+    # parsed records) hold 10^8+ Python objects; every generational GC pass
+    # walks them all, which collapsed throughput ~100x at 100 Mbp.  They
+    # are acyclic (refcounting frees them) — freeze them out of the GC and
+    # let the correction loop run with the collector off.
+    import gc
+
+    gc.collect()
+    gc.freeze()
+    gc.disable()
     corrected_map: dict = {}
     poa_map: dict = {}
     for rec in records:
@@ -297,6 +319,8 @@ def run_error_correction(prefix, params, int_to_minimizer, buckets,
     postcor.close()
     poa_file.flush()
     poa_file.close()
+    gc.enable()
+    gc.unfreeze()
 
 
 def read_to_kmers_postcor(read: EcRead, params):
