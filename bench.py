@@ -178,7 +178,7 @@ def main():
     # corpora cross later than clean ones (fewer clean copies per node), so
     # several phases spread the emission work across the whole loop.
     fracs = [float(x) for x in os.environ.get(
-        "MDBG_BENCH_PHASES", "0.24").split(",")]
+        "MDBG_BENCH_PHASES", "0.12").split(",")]
     bounds = sorted({max(1, min(n_batches - 1, int(n_batches * f)))
                      for f in fracs}) + [n_batches]
 

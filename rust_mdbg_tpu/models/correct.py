@@ -31,6 +31,10 @@ DIST_THRESHOLD = 0.15
 MAX_POA_READS = 80
 
 
+def _c0_rate(n, dt):
+    return n / dt if dt > 0 else 0.0
+
+
 def dist(a_transformed, b_transformed, params, sets=None) -> float:
     """sets: optional (set_a, set_b) precomputed (EcRead.tset) — the values
     are ignored for membership, only |∩| / |∪| are taken, so passing cached
@@ -75,15 +79,21 @@ def _recruit(read: EcRead, buckets, params, reads_by_id):
     (read.rs:450-456) -> [(candidate EcRead, dist)]."""
     n = params.n
     template = read.transformed
-    added = {read.id}
-    bucket_reads: list[EcRead] = []
+    # count shared windows per candidate (dict preserves first-appearance
+    # order, so the downstream distance-sort tie order is unchanged)
+    counts: dict = {}
+    get = counts.get
     for i in range(len(template) - n + 1):
         key = normalize_vec(template[i : i + n])
         for rid in buckets.get(key, ()):  # noqa: B905
-            q = reads_by_id[rid]
-            if q.id not in added:
-                bucket_reads.append(q)
-                added.add(q.id)
+            counts[rid] = get(rid, 0) + 1
+    import os as _os
+
+    m = int(_os.environ.get("MDBG_EC_MIN_SHARED",
+                            getattr(params, "ec_min_shared", 2)))
+    rid_self = read.id
+    bucket_reads = [reads_by_id[rid] for rid, c in counts.items()
+                    if c >= m and rid != rid_self]
     tset = read.tset
     with_dist = [
         (q, dist(template, q.transformed, params, sets=(tset, q.tset)))
@@ -222,7 +232,22 @@ def run_error_correction_lockstep(prefix, params, int_to_minimizer, buckets,
     poa_map: dict = {}
     CH = max(1, int(getattr(params, "ec_chunk", 32)))
     recs = list(records)
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prog = _os.environ.get("MDBG_EC_PROGRESS")
+    _t0 = _time.perf_counter()
+    _tlast = _t0
+    _nlast = 0
     for c0 in range(0, len(recs), CH):
+        if _prog and c0 and c0 % (CH * 8) == 0:
+            _now = _time.perf_counter()
+            print(f"# ec {c0}/{len(recs)} "
+                  f"inst={_c0_rate(c0 - _nlast, _now - _tlast):.1f} r/s "
+                  f"avg={_c0_rate(c0, _now - _t0):.1f} r/s "
+                  f"ncorr={len(corrected_map)}", file=_sys.stderr, flush=True)
+            _tlast, _nlast = _now, c0
         states = []  # [read, graph, with_dist, poa_ids]
         for rec in recs[c0 : c0 + CH]:
             if rec.seq_id in corrected_map:

@@ -55,6 +55,16 @@ class Params:
     chunk_reads: int = 0       # >0: force chunked >HBM counting (core/chunked.py)
     ec_device_poa: bool = False  # batched device POA DP over lockstep chunks
     ec_chunk: int = 32         # templates per lockstep chunk (device EC)
+    # minimum shared n-minimizer windows for a bucket candidate to reach the
+    # distance filter.  Low-complexity HPC patterns create buckets holding a
+    # constant FRACTION of all reads (heavy-tailed n-tuple occurrence
+    # counts), and iterating them made recruit O(corpus) per read; a
+    # dist < 0.15 (Jaccard > 0.85) neighbor shares long runs of consecutive
+    # minimizers, i.e. >> 2 windows, so 2 prunes only hopeless candidates.
+    # 1 restores the exhaustive scan.  (The reference's shipped bucket
+    # insert is commented out — main.rs:819 — so its EC recruits nothing;
+    # the populated-bucket path is this framework's extension.)
+    ec_min_shared: int = 2
 
     @property
     def hash_bound(self) -> int:
