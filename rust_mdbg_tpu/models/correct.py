@@ -81,11 +81,22 @@ def _recruit(read: EcRead, buckets, params, reads_by_id):
     template = read.transformed
     # count shared windows per candidate (dict preserves first-appearance
     # order, so the downstream distance-sort tie order is unchanged)
+    import os as _os
+
+    # skip degenerate buckets during the count: low-complexity n-tuples
+    # hold a constant FRACTION of all reads (heavy tail), so iterating them
+    # makes recruit O(corpus)/read; genuine dist<0.15 neighbors share ~1e2
+    # windows through NORMAL buckets, so the cap leaves their counts >= m.
+    cap = int(_os.environ.get("MDBG_EC_BUCKET_CAP",
+                              getattr(params, "ec_bucket_cap", 512)))
     counts: dict = {}
     get = counts.get
     for i in range(len(template) - n + 1):
         key = normalize_vec(template[i : i + n])
-        for rid in buckets.get(key, ()):  # noqa: B905
+        lst = buckets.get(key, ())
+        if cap and len(lst) > cap:
+            continue
+        for rid in lst:  # noqa: B905
             counts[rid] = get(rid, 0) + 1
     import os as _os
 

@@ -65,6 +65,11 @@ class Params:
     # insert is commented out — main.rs:819 — so its EC recruits nothing;
     # the populated-bucket path is this framework's extension.)
     ec_min_shared: int = 2
+    # recruit skips buckets larger than this during the shared-window count
+    # (degenerate low-complexity n-tuples; see ec_min_shared).  ~17x the
+    # default coverage; a genuine neighbor's count survives via its many
+    # normal-bucket windows.  0 disables the cap.
+    ec_bucket_cap: int = 512
 
     @property
     def hash_bound(self) -> int:
