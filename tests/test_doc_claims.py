@@ -81,3 +81,23 @@ def test_scale_demo_description_matches_fields():
     if m:
         assert abs(float(m.group(1)) - gbp) < 0.3, \
             f"README quotes {m.group(1)} Gbp; artifact records {gbp}"
+
+
+def test_device_loop_claim():
+    """README's quoted device-only rate must match a captured BENCH_r0N
+    (>= r04) within relay variance once one exists."""
+    txt = _doc("README.md")
+    m = re.search(r"`device_loop_gbps` measured\s+\*\*([\d.]+) Gbp/s", txt)
+    if not m:
+        return
+    captured = []
+    for i in (4, 5, 6):
+        p = os.path.join(REPO, f"BENCH_r{i:02d}.json")
+        if os.path.exists(p):
+            j = json.load(open(p))
+            v = j.get("parsed", j).get("device_loop_gbps")
+            if v:
+                captured.append(v)
+    for v in captured:
+        assert abs(v - float(m.group(1))) / float(m.group(1)) < 0.5, \
+            f"README device rate {m.group(1)} vs captured {v}"
