@@ -355,21 +355,30 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     # serial feed (useful when a single-stream dev relay makes bulk H2D
     # stall the per-chunk D2H fetches).
     overlap = _os2.environ.get("MDBG_CHUNK_FEED_OVERLAP", "1") != "0"
+    stop_feed = None
     if overlap:
         import queue
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=1)
+        stop_feed = threading.Event()
 
         def _stager():
-            while True:
+            while not stop_feed.is_set():
                 try:
                     item = fetch_and_stage()
                 except BaseException as e:  # surfaced on the main thread
-                    q.put(e)
-                    return
-                q.put(item)
-                if item is None:
+                    item = e
+                # bounded put that notices consumer abort (a raised
+                # flush_chunk would otherwise leave this thread parked on a
+                # full queue holding a staged chunk's device+host memory)
+                while not stop_feed.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if item is None or isinstance(item, BaseException):
                     return
 
         threading.Thread(target=_stager, daemon=True).start()
@@ -377,16 +386,20 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     else:
         get_item = fetch_and_stage
 
-    with timer.phase("stream"):
-        while True:
-            with timer.phase("feed-wait"):
-                item = get_item()
-            if isinstance(item, BaseException):
-                raise item
-            if item is None:
-                break
-            nb_reads += item[4]
-            flush_chunk(*item)  # (staged, lens_d, blob, blob_off, fill, Lc)
+    try:
+        with timer.phase("stream"):
+            while True:
+                with timer.phase("feed-wait"):
+                    item = get_item()
+                if isinstance(item, BaseException):
+                    raise item
+                if item is None:
+                    break
+                nb_reads += item[4]
+                flush_chunk(*item)  # (staged, lens_d, blob, blob_off, fill, Lc)
+    finally:
+        if stop_feed is not None:
+            stop_feed.set()
 
     stats["nb_reads"] = nb_reads
     stats["nb_windows"] = nb_windows

@@ -19,6 +19,7 @@ Driver parity with the reference's EC path:
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -74,21 +75,26 @@ class EcRead:
         return self._tset
 
 
+def _recruit_knobs(params):
+    return (int(os.environ.get("MDBG_EC_BUCKET_CAP",
+                               getattr(params, "ec_bucket_cap", 512))),
+            int(os.environ.get("MDBG_EC_MIN_SHARED",
+                               getattr(params, "ec_min_shared", 2))))
+
+
 def _recruit(read: EcRead, buckets, params, reads_by_id):
     """Bucket lookup (read.rs:437-448) + distance filter/sort/cap
     (read.rs:450-456) -> [(candidate EcRead, dist)]."""
     n = params.n
     template = read.transformed
-    # count shared windows per candidate (dict preserves first-appearance
-    # order, so the downstream distance-sort tie order is unchanged)
-    import os as _os
-
     # skip degenerate buckets during the count: low-complexity n-tuples
     # hold a constant FRACTION of all reads (heavy tail), so iterating them
     # makes recruit O(corpus)/read; genuine dist<0.15 neighbors share ~1e2
     # windows through NORMAL buckets, so the cap leaves their counts >= m.
-    cap = int(_os.environ.get("MDBG_EC_BUCKET_CAP",
-                              getattr(params, "ec_bucket_cap", 512)))
+    # (env overrides resolved once per process, not per read)
+    cap, m = _recruit_knobs(params)
+    # count shared windows per candidate (dict preserves first-appearance
+    # order, so the downstream distance-sort tie order is unchanged)
     counts: dict = {}
     get = counts.get
     for i in range(len(template) - n + 1):
@@ -98,10 +104,6 @@ def _recruit(read: EcRead, buckets, params, reads_by_id):
             continue
         for rid in lst:  # noqa: B905
             counts[rid] = get(rid, 0) + 1
-    import os as _os
-
-    m = int(_os.environ.get("MDBG_EC_MIN_SHARED",
-                            getattr(params, "ec_min_shared", 2)))
     rid_self = read.id
     bucket_reads = [reads_by_id[rid] for rid, c in counts.items()
                     if c >= m and rid != rid_self]
@@ -203,6 +205,7 @@ def _finish(read, graph, with_dist, params, int_to_minimizer, corrected_map,
     read.seq = cns_str
     read.pos = cns_pos
     read.transformed = [int(x) for x in cns]
+    read._tset = None  # invalidate the cached minimizer set
     read.corrected = True
     return read
 
@@ -232,13 +235,14 @@ def run_error_correction_lockstep(prefix, params, int_to_minimizer, buckets,
     # At genome scale the resident structures (reads_by_id, buckets, the
     # parsed records) hold 10^8+ Python objects; every generational GC pass
     # walks them all, which collapsed throughput ~100x at 100 Mbp.  They
-    # are acyclic (refcounting frees them) — freeze them out of the GC and
-    # let the correction loop run with the collector off.
+    # are acyclic (refcounting frees them) — freeze them into the permanent
+    # generation so collections only ever walk the loop's transients.  The
+    # collector stays ENABLED (no try/finally needed; an exception leaves
+    # only frozen-but-refcounted objects behind).
     import gc
 
     gc.collect()
     gc.freeze()
-    gc.disable()
     corrected_map: dict = {}
     poa_map: dict = {}
     CH = max(1, int(getattr(params, "ec_chunk", 32)))
@@ -307,7 +311,6 @@ def run_error_correction_lockstep(prefix, params, int_to_minimizer, buckets,
     postcor.close()
     poa_file.flush()
     poa_file.close()
-    gc.enable()
     gc.unfreeze()
 
 
@@ -327,13 +330,14 @@ def run_error_correction(prefix, params, int_to_minimizer, buckets,
     # At genome scale the resident structures (reads_by_id, buckets, the
     # parsed records) hold 10^8+ Python objects; every generational GC pass
     # walks them all, which collapsed throughput ~100x at 100 Mbp.  They
-    # are acyclic (refcounting frees them) — freeze them out of the GC and
-    # let the correction loop run with the collector off.
+    # are acyclic (refcounting frees them) — freeze them into the permanent
+    # generation so collections only ever walk the loop's transients.  The
+    # collector stays ENABLED (no try/finally needed; an exception leaves
+    # only frozen-but-refcounted objects behind).
     import gc
 
     gc.collect()
     gc.freeze()
-    gc.disable()
     corrected_map: dict = {}
     poa_map: dict = {}
     for rec in records:
@@ -355,7 +359,6 @@ def run_error_correction(prefix, params, int_to_minimizer, buckets,
     postcor.close()
     poa_file.flush()
     poa_file.close()
-    gc.enable()
     gc.unfreeze()
 
 

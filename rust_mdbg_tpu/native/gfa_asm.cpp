@@ -58,9 +58,11 @@ struct Link {
     bool alive = true;
 };
 
-// A-line: raw fields v[1:] = (seg, off, ori, orig, z, len)
+// A-line: ALL raw fields v[1:] verbatim (python round-trips any count);
+// the unitig composition reads fields 0..5 = (seg, off, ori, orig, z, len)
 struct ALine {
-    std::string seg, off, ori, orig, z, len;
+    std::vector<std::string> f;
+    const std::string& seg() const { return f[0]; }
 };
 
 struct Graph {
@@ -155,12 +157,15 @@ bool parse_gfa(const char* path, Graph& g, std::string& err) {
         size_t eol = buf.find('\n', pos);
         if (eol == std::string::npos) eol = n;
         size_t len = eol - pos;
-        // strip trailing \r? python rstrip("\n") only; keep \r as content
+        const char* line = buf.data() + pos;
+        // python text-mode open() translates \r\n -> \n (universal
+        // newlines): strip one trailing \r to match.  (Lone-\r-separated
+        // files are not handled by either engine identically; unsupported.)
+        if (len && line[len - 1] == '\r') len--;
         if (len == 0) {
             pos = eol + 1;
             continue;
         }
-        const char* line = buf.data() + pos;
         char t = line[0];
         if (t == 'H') {
             g.header.assign(line, len);
@@ -218,9 +223,11 @@ bool parse_gfa(const char* path, Graph& g, std::string& err) {
                     ln.ov = v;
                 }
                 g.links.push_back(std::move(ln));
-            } else if (t == 'A' && fields.size() >= 7) {
-                g.alines.push_back(
-                    {fs(1), fs(2), fs(3), fs(4), fs(5), fs(6)});
+            } else if (t == 'A' && fields.size() >= 2) {
+                ALine al;
+                for (size_t i = 1; i < fields.size(); i++)
+                    al.f.push_back(fs(i));
+                g.alines.push_back(std::move(al));
             }
         }
         pos = eol + 1;
@@ -253,7 +260,7 @@ bool write_gfa(const char* path, const Graph& g, std::string& err) {
     std::unordered_map<std::string, std::vector<int32_t>> a_by_seg;
     a_by_seg.reserve(g.alines.size() * 2 + 16);
     for (size_t i = 0; i < g.alines.size(); i++)
-        a_by_seg[g.alines[i].seg].push_back((int32_t)i);
+        a_by_seg[g.alines[i].seg()].push_back((int32_t)i);
 
     std::string out;
     out.reserve(1 << 22);
@@ -286,18 +293,11 @@ bool write_gfa(const char* path, const Graph& g, std::string& err) {
         if (it != a_by_seg.end()) {
             for (int32_t ai : it->second) {
                 const ALine& a = g.alines[(size_t)ai];
-                out += "A\t";
-                out += a.seg;
-                out += '\t';
-                out += a.off;
-                out += '\t';
-                out += a.ori;
-                out += '\t';
-                out += a.orig;
-                out += '\t';
-                out += a.z;
-                out += '\t';
-                out += a.len;
+                out += 'A';
+                for (const std::string& fld : a.f) {
+                    out += '\t';
+                    out += fld;
+                }
                 out += '\n';
             }
         }
@@ -588,16 +588,20 @@ int64_t drop_short(Graph& g, int64_t min_ov) {
 // ---------------------------------------------------------------- unitigs
 
 char comp_base(char c) {
+    // exact utils/seq.revcomp table: acgt/ACGT pairs, u/U -> a/A,
+    // EVERYTHING else (incl. 'n') -> 'N'
     switch (c) {
         case 'A': return 'T';
         case 'T': return 'A';
         case 'C': return 'G';
         case 'G': return 'C';
+        case 'U': return 'A';
         case 'a': return 't';
         case 't': return 'a';
         case 'c': return 'g';
         case 'g': return 'c';
-        default: return c == 'n' ? 'n' : 'N';
+        case 'u': return 'a';
+        default: return 'N';
     }
 }
 
@@ -647,7 +651,7 @@ Graph unitigs(Graph& g) {
             int64_t u = vcomp(pin[0].w);  // unique predecessor
             if (succ(u).size() != 1) break;
             if (seen.count(vseg(u))) {
-                circular = (u == start);
+                circular = (u == v);  // wrapped around to the walk origin
                 break;
             }
             start = u;
@@ -682,15 +686,17 @@ Graph unitigs(Graph& g) {
     std::unordered_map<std::string, std::vector<SubA>> sub;
     sub.reserve(g.alines.size() * 2 + 16);
     for (const ALine& a : g.alines) {
-        std::string lens = a.len;
+        if (a.f.size() < 6) continue;  // python raises on these in unitigs
+        const std::string& lens = a.f[5];
         // int(str(aln).strip())
         size_t b = lens.find_first_not_of(" \t\r\n");
         size_t e = lens.find_last_not_of(" \t\r\n");
         int64_t alen = 0;
         if (b != std::string::npos)
             alen = strtoll(lens.substr(b, e - b + 1).c_str(), nullptr, 10);
-        sub[a.seg].push_back({strtoll(a.off.c_str(), nullptr, 10),
-                              a.ori.empty() ? '+' : a.ori[0], a.orig, alen});
+        sub[a.f[0]].push_back({strtoll(a.f[1].c_str(), nullptr, 10),
+                               a.f[2].empty() ? '+' : a.f[2][0], a.f[3],
+                               alen});
     }
 
     // arcs_ov map (for link stitching) + deterministic iteration list
@@ -788,22 +794,16 @@ Graph unitigs(Graph& g) {
                         cori = a.ori == '+' ? '-' : '+';
                     }
                     ALine al;
-                    al.seg = name;
-                    al.off = std::to_string(coff);
-                    al.ori = std::string(1, cori);
-                    al.orig = a.orig;
-                    al.z = "0";
-                    al.len = std::to_string(a.len);
+                    al.f = {name, std::to_string(coff),
+                            std::string(1, cori), a.orig, "0",
+                            std::to_string(a.len)};
                     out.alines.push_back(std::move(al));
                 }
             } else {
                 ALine al;
-                al.seg = name;
-                al.off = std::to_string(offs[j]);
-                al.ori = vori(pv) ? "-" : "+";
-                al.orig = s.name;
-                al.z = "0";
-                al.len = std::to_string(s.length);
+                al.f = {name, std::to_string(offs[j]),
+                        vori(pv) ? "-" : "+", s.name, "0",
+                        std::to_string(s.length)};
                 out.alines.push_back(std::move(al));
             }
         }

@@ -69,7 +69,9 @@ class Gfa:
                             length = int(tag[5:])
                     g.segments[v[1]] = Segment(v[1], seq, length, tags)
                 elif t == "L":
-                    ov = int(re.match(r"(\d+)", v[5]).group(1)) if len(v) > 5 else 0
+                    # leading digits of the CIGAR; '*' (GFA1 unknown) -> 0
+                    m = re.match(r"(\d+)", v[5]) if len(v) > 5 else None
+                    ov = int(m.group(1)) if m else 0
                     g.links.append((v[1], v[2], v[3], v[4], ov))
                 elif t == "A":
                     g.a_lines.append(tuple(v[1:]))

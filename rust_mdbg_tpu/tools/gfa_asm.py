@@ -230,7 +230,7 @@ def unitigs(g: Gfa) -> Gfa:
             if len(succ(u)) != 1:
                 break
             if u[0] in seen:
-                circular = u == start  # came back around
+                circular = u == v  # wrapped around to the walk origin
                 break
             start = u
             seen.add(u[0])

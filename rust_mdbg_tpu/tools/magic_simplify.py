@@ -16,8 +16,7 @@ from __future__ import annotations
 import os
 import sys
 
-from .gfa import Gfa
-from .gfa_asm import cut_tips, pop_bubbles, unitigs, run_ops, run_ops_file
+from .gfa_asm import run_ops_file
 from .gfa2fasta import gfa2fasta
 from .gfa_break_loops import break_loops
 from .to_basespace import to_basespace

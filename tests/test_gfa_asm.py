@@ -131,7 +131,8 @@ def test_unitig_merges_sequences_with_orientation():
 def test_reference_example_simplifies_to_one_unitig(tmp_path):
     from rust_mdbg_tpu.core.pipeline import assemble
     from rust_mdbg_tpu.params import Params
-    from rust_mdbg_tpu.tools.magic_simplify import ROUND1, run_ops
+    from rust_mdbg_tpu.tools.gfa_asm import run_ops
+    from rust_mdbg_tpu.tools.magic_simplify import ROUND1
 
     prefix = str(tmp_path / "ex")
     p = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2, engine="host")

@@ -151,3 +151,58 @@ def test_real_assembly_parity(tmp_path):
     p = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2, engine="host")
     assemble("/root/reference/example/reads-0.00.fa.gz", p, prefix)
     _run_both(tmp_path, open(prefix + ".gfa").read(), ROUND1, "real")
+
+
+def test_crlf_input_parity(tmp_path):
+    """CRLF line endings: python text-mode strips \\r\\n; native must too."""
+    text = ("H\tVN:Z:1.0\r\n"
+            "S\ta\tACGT\r\n"
+            "S\tb\tGTTT\r\n"
+            "L\ta\t+\tb\t+\t2M\r\n")
+    out = _run_both(tmp_path, text, [("u",)], "crlf")
+    assert b"\r" not in out
+
+
+def test_aline_extra_fields_roundtrip(tmp_path):
+    """A-lines with extra (or many) fields round-trip verbatim in BOTH
+    engines on schedules without a unitig op."""
+    text = ("H\tVN:Z:1.0\n"
+            "S\ta\t*\tLN:i:100\n"
+            "A\ta\t0\t+\torig1\t0\t100\tXT:i:5\n")
+    out = _run_both(tmp_path, text, [("t", 10, 50000)], "alx")
+    assert b"XT:i:5" in out
+
+
+def test_revcomp_parity_unusual_bases(tmp_path):
+    """u/U/n through the unitig reverse-complement: both engines must use
+    the utils/seq.revcomp table (u->a, U->A, everything else N)."""
+    text = ("H\tVN:Z:1.0\n"
+            "S\ta\tACGTACG\n"
+            "S\tb\tTTnU\n"
+            "L\ta\t+\tb\t-\t1M\n")
+    out = _run_both(tmp_path, text, [("u",)], "ub")
+    # revcomp(TTnU) = ANAA; overlap 1 trims the first char -> ...G + NAA
+    assert b"ACGTACGNAA" in out
+
+
+def test_star_overlap_cigar(tmp_path):
+    """GFA1 '*' CIGAR parses as overlap 0 in both engines."""
+    text = ("H\tVN:Z:1.0\n"
+            "S\ta\tACGT\n"
+            "S\tb\tGTTT\n"
+            "L\ta\t+\tb\t+\t*\n")
+    out = _run_both(tmp_path, text, [("u",)], "star")
+    assert out.count(b"S\t") == 1  # merged at overlap 0
+
+
+def test_circular_unitig_label(tmp_path):
+    """A multi-segment cycle gets the 'c' suffix (gfatools -u convention)."""
+    text = ("H\tVN:Z:1.0\n"
+            "S\ta\t*\tLN:i:100\n"
+            "S\tb\t*\tLN:i:100\n"
+            "S\tc\t*\tLN:i:100\n"
+            "L\ta\t+\tb\t+\t10M\n"
+            "L\tb\t+\tc\t+\t10M\n"
+            "L\tc\t+\ta\t+\t10M\n")
+    out = _run_both(tmp_path, text, [("u",)], "circ")
+    assert b"utg0000001c" in out

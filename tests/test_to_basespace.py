@@ -79,7 +79,8 @@ def test_exact_junctions_improve_reconstruction(simplified, tmp_path):
     from rust_mdbg_tpu.tools.gfa import Gfa
     from rust_mdbg_tpu.tools.gfa_asm import unitigs as _unitigs
     from rust_mdbg_tpu.tools.gfa_break_loops import break_loops
-    from rust_mdbg_tpu.tools.magic_simplify import ROUND1, run_ops
+    from rust_mdbg_tpu.tools.gfa_asm import run_ops
+    from rust_mdbg_tpu.tools.magic_simplify import ROUND1
     from rust_mdbg_tpu.tools.to_basespace import to_basespace
 
     prefix, _ = simplified
