@@ -101,3 +101,15 @@ def test_device_loop_claim():
     for v in captured:
         assert abs(v - float(m.group(1))) / float(m.group(1)) < 0.5, \
             f"README device rate {m.group(1)} vs captured {v}"
+
+
+def test_ec_scale_claim():
+    """README's EC-at-scale sentence must quote EC_SCALE.json's own fields."""
+    txt = _doc("README.md")
+    if "EC_SCALE.json" not in txt:
+        return
+    a = _art("EC_SCALE.json")
+    for quoted in (f"{a['wall_s']:.0f} s wall", f"{a['ec_s']:.0f} s",
+                   f"{a['rate_reads_per_s']} reads/s",
+                   f"{a['ec_before_identity']} -> {a['ec_after_identity']}"):
+        assert quoted in txt, f"README missing artifact value: {quoted!r}"
