@@ -39,7 +39,7 @@ import functools
 import numpy as np
 
 
-def _finalize(b_keys, b_meta, b_vecs, *, minab, node_cap, keep_all):
+def _finalize(b_lo, b_hi, b_meta, b_vecs, *, minab, node_cap, keep_all):
     """Sort + segment-reduce over windows carrying explicit meta+vecs rows.
 
     Used by the sharded multi-chip pipeline (parallel/pipeline.py), where
@@ -53,13 +53,13 @@ def _finalize(b_keys, b_meta, b_vecs, *, minab, node_cap, keep_all):
     import jax
     import jax.numpy as jnp
 
-    N = b_keys.shape[0]
+    N = b_lo.shape[0]
     node_cap = min(node_cap, N - 1)  # slices below need node_cap + 1 <= N
     valid = (b_meta[:, 1] >> 31) > 0
     # invalid windows sink to the end as (MAX, MAX); a real fingerprint equal
     # to that value has probability 2^-128
-    lo = jnp.where(valid, b_keys[:, 0], ~jnp.uint64(0))
-    hi = jnp.where(valid, b_keys[:, 1], ~jnp.uint64(0))
+    lo = jnp.where(valid, b_lo, ~jnp.uint64(0))
+    hi = jnp.where(valid, b_hi, ~jnp.uint64(0))
     occ = jnp.arange(N, dtype=jnp.uint32)
     # occ (unique, ascending) as a third sort key replaces stability — see
     # _finalize_compact

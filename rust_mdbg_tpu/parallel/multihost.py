@@ -292,10 +292,10 @@ def assemble_multihost(reads_path: str, params: Params, prefix: str) -> dict:
             raw_reads.extend([b""] * (B_host - len(raw)))
         codes = jax.make_array_from_process_local_data(shardings[0], codes_h)
         lengths = jax.make_array_from_process_local_data(shardings[1], lens_h)
-        bk, bm, bv, dropped, n_over = step(
+        blo, bhi, bm, bv, dropped, n_over = step(
             codes, lengths, *buffers, np.int32(offset), np.uint32(read_base)
         )
-        buffers = (bk, bm, bv)
+        buffers = (blo, bhi, bm, bv)
         drops.append((dropped, n_over))
         offset += recv
         read_base += B

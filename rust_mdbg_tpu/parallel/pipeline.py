@@ -57,7 +57,8 @@ def make_sharded_pipeline(mesh, params, B, L, M, window_cap, node_cap,
               use_pallas=(params.engine == "pallas"))
     recv = n * route_cap  # windows landing per shard per round
 
-    def _step(codes, lengths, b_keys, b_meta, b_vecs, offset, read_base):
+    def _step(codes, lengths, b_lo, b_hi, b_meta, b_vecs, offset,
+              read_base):
         out = _device_extract(codes, lengths, **ek)
         key_lo = out["keys"][..., 0].reshape(-1)
         key_hi = out["keys"][..., 1].reshape(-1)
@@ -99,22 +100,23 @@ def make_sharded_pipeline(mesh, params, B, L, M, window_cap, node_cap,
         r_meta = a2a(bmeta)
         r_vecs = a2a(bvecs)
 
-        b_keys = jax.lax.dynamic_update_slice(
-            b_keys, jnp.stack([r_lo, r_hi], axis=1),
-            (offset, jnp.int32(0)),
-        )
+        # keys appended as separate lo/hi planes: a [N, 2] u64 buffer can
+        # take a T(8,128) tiled copy on real TPU (minor dim 2 pads 64x; the
+        # single-chip counter hit 9 GB of padding before the same split)
+        b_lo = jax.lax.dynamic_update_slice(b_lo, r_lo, (offset,))
+        b_hi = jax.lax.dynamic_update_slice(b_hi, r_hi, (offset,))
         b_meta = jax.lax.dynamic_update_slice(b_meta, r_meta,
                                               (offset, jnp.int32(0)))
         b_vecs = jax.lax.dynamic_update_slice(b_vecs, r_vecs,
                                               (offset, jnp.int32(0)))
         n_over = out["overflow"].sum().astype(jnp.int32)
-        return b_keys, b_meta, b_vecs, jax.lax.psum(dropped, AXIS), \
+        return b_lo, b_hi, b_meta, b_vecs, jax.lax.psum(dropped, AXIS), \
             jax.lax.psum(n_over, AXIS)
 
-    def _fin(b_keys, b_meta, b_vecs):
+    def _fin(b_lo, b_hi, b_meta, b_vecs):
         from ..ops.sort_count import _finalize
 
-        res = _finalize(b_keys, b_meta, b_vecs,
+        res = _finalize(b_lo, b_hi, b_meta, b_vecs,
                         minab=params.min_kmer_abundance, node_cap=node_cap,
                         keep_all=False)
         my = jax.lax.axis_index(AXIS)
@@ -127,23 +129,27 @@ def make_sharded_pipeline(mesh, params, B, L, M, window_cap, node_cap,
 
     step = jax.jit(jax.shard_map(
         _step, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS, None),
-                  P(AXIS, None), P(), P()),
-        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(), P()),
-    ), donate_argnums=(2, 3, 4))
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS, None), P(AXIS, None), P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS, None), P(AXIS, None),
+                   P(), P()),
+    ), donate_argnums=(2, 3, 4, 5))
     fin = jax.jit(jax.shard_map(
         _fin, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS, None), P(AXIS, None)),
         out_specs=P(AXIS),
     ))
 
     def make_buffers():
-        sh = NamedSharding(mesh, P(AXIS, None))
-        zeros = functools.partial(jax.device_put, device=sh)
+        sh2 = NamedSharding(mesh, P(AXIS, None))
+        sh1 = NamedSharding(mesh, P(AXIS))
         return (
-            zeros(np.zeros((n * window_cap, 2), dtype=np.uint64)),
-            zeros(np.zeros((n * window_cap, 5), dtype=np.uint32)),
-            zeros(np.zeros((n * window_cap, k), dtype=np.uint64)),
+            jax.device_put(np.zeros(n * window_cap, dtype=np.uint64), sh1),
+            jax.device_put(np.zeros(n * window_cap, dtype=np.uint64), sh1),
+            jax.device_put(np.zeros((n * window_cap, 5), dtype=np.uint32),
+                           sh2),
+            jax.device_put(np.zeros((n * window_cap, k), dtype=np.uint64),
+                           sh2),
         )
 
     in_shardings = (
@@ -199,10 +205,10 @@ def assemble_sharded(reads_path: str, params, prefix: str,
     for batch in fastx.batches(reads_path, B, L):
         codes = jax.device_put(batch.codes, shardings[0])
         lengths = jax.device_put(batch.lengths, shardings[1])
-        bk, bm, bv, dropped, n_over = step(
+        blo, bhi, bm, bv, dropped, n_over = step(
             codes, lengths, *buffers, np.int32(offset), np.uint32(read_base)
         )
-        buffers = (bk, bm, bv)
+        buffers = (blo, bhi, bm, bv)
         drops.append((dropped, n_over))
         raw_reads.extend(batch.raw)
         nb_reads += batch.n_reads
@@ -213,18 +219,18 @@ def assemble_sharded(reads_path: str, params, prefix: str,
             # (rows stay device-resident and sharded; zero rows are inert
             # in finalize since their valid bit is unset).  Doubling keeps
             # the number of distinct compiled shapes logarithmic.
-            def _grow(bk, bm, bv, _cap=window_cap):
+            def _grow(blo, bhi, bm, bv, _cap=window_cap):
                 def pad(x):
                     return jnp.concatenate(
                         [x, jnp.zeros((_cap,) + x.shape[1:], x.dtype)],
                         axis=0)
-                return pad(bk), pad(bm), pad(bv)
+                return pad(blo), pad(bhi), pad(bm), pad(bv)
 
-            specs = (P(AXIS, None),) * 3
+            specs = (P(AXIS), P(AXIS), P(AXIS, None), P(AXIS, None))
             buffers = jax.jit(
                 jax.shard_map(_grow, mesh=mesh, in_specs=specs,
                               out_specs=specs),
-                donate_argnums=(0, 1, 2),
+                donate_argnums=(0, 1, 2, 3),
             )(*buffers)
             window_cap *= 2
     res = fin(*buffers)

@@ -82,8 +82,8 @@ def test_route_overflow_detected(tmp_path):
     codes = jax.device_put(rng.integers(0, 4, (B, L)).astype(np.uint8),
                            shardings[0])
     lengths = jax.device_put(np.full((B,), L, dtype=np.int32), shardings[1])
-    bk, bm, bv, dropped, n_over = step(codes, lengths, *buffers,
-                                       np.int32(0), np.uint32(0))
+    blo, bhi, bm, bv, dropped, n_over = step(codes, lengths, *buffers,
+                                             np.int32(0), np.uint32(0))
     assert int(np.asarray(dropped).reshape(-1)[0]) > 0
 
 
