@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ec-device-poa", action="store_true",
                    help="batched device POA DP for --error-correct "
                         "(lockstep template chunks)")
+    p.add_argument("--ec-procs", type=int, default=0,
+                   help="fork N EC worker processes over template shards "
+                        "(host path; byte-identical to sequential when "
+                        "--correction-threshold is 0)")
     p.add_argument("--ec-chunk", type=int, default=32,
                    help="templates per lockstep EC chunk")
     p.add_argument("--multihost", action="store_true",
@@ -126,6 +130,7 @@ def params_from_args(args) -> tuple[Params, str]:
         chunk_reads=args.chunk_reads,
         ec_device_poa=bool(args.ec_device_poa),
         ec_chunk=args.ec_chunk,
+        ec_procs=args.ec_procs,
     )
     if args.lmer_counts is not None:
         object.__setattr__(params, "_lmer_counts_path", args.lmer_counts)

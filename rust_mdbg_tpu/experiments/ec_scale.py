@@ -26,7 +26,7 @@ def run_ec_scale(genome_mbp: float, coverage: float = 30,
                  read_len: int = 10000, error_rate: float = 0.01,
                  device_poa: bool = True, ec_chunk: int = 64,
                  workdir: str | None = None, seed: int = 0,
-                 platform: str | None = None) -> dict:
+                 platform: str | None = None, ec_procs: int = 0) -> dict:
     if platform:
         # the axon sitecustomize force-registers the TPU backend and
         # overrides JAX_PLATFORMS; the config update below wins (see
@@ -61,7 +61,7 @@ def run_ec_scale(genome_mbp: float, coverage: float = 30,
     # higher-density settings than assembly; utils/magic_simplify EC configs)
     p = Params(k=8, l=10, density=0.02, min_kmer_abundance=2,
                error_correct=True, engine="host",
-               ec_device_poa=device_poa)
+               ec_device_poa=device_poa, ec_procs=ec_procs)
     if device_poa:
         object.__setattr__(p, "ec_chunk", ec_chunk)
     prefix = os.path.join(workdir, f"ec_{genome_mbp:g}mbp")
@@ -73,7 +73,7 @@ def run_ec_scale(genome_mbp: float, coverage: float = 30,
     return dict(
         **acc,
         genome_mbp=genome_mbp, coverage=coverage, read_len=read_len,
-        error_rate=error_rate, device_poa=device_poa,
+        error_rate=error_rate, device_poa=device_poa, ec_procs=ec_procs,
         total_gbp=round(info["total_bases"] / 1e9, 4),
         synth_s=round(t_synth, 1), wall_s=round(t_run, 1),
         ec_s=round(phases.get("error-correct", 0.0), 1),
@@ -168,6 +168,9 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--error-rate", type=float, default=0.01)
     ap.add_argument("--device-poa", action="store_true")
     ap.add_argument("--ec-chunk", type=int, default=64)
+    ap.add_argument("--ec-procs", type=int, default=0,
+                    help="fork N EC worker processes (host path; overrides "
+                         "--device-poa)")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default=None,
@@ -176,7 +179,7 @@ def main(argv: list[str]) -> int:
     a = ap.parse_args(argv)
     res = run_ec_scale(a.genome_mbp, a.coverage, a.read_len, a.error_rate,
                        a.device_poa, a.ec_chunk, a.workdir,
-                       platform=a.platform)
+                       platform=a.platform, ec_procs=a.ec_procs)
     line = json.dumps(res)
     print(line)
     if a.out:

@@ -314,33 +314,30 @@ def run_error_correction_lockstep(prefix, params, int_to_minimizer, buckets,
     gc.unfreeze()
 
 
-def run_error_correction(prefix, params, int_to_minimizer, buckets,
-                         reads_by_id_raw):
-    """Correct all reads from prefix.ec_data; write .postcor/.poa files."""
-    if getattr(params, "ec_device_poa", False):
-        return run_error_correction_lockstep(
-            prefix, params, int_to_minimizer, buckets, reads_by_id_raw)
-    records = ec_data.load(prefix)
-    reads_by_id = {
-        rid: EcRead(rid, r["seq"], r["transformed"], r["pos"])
-        for rid, r in reads_by_id_raw.items()
-    }
-    postcor = ec_data.EcWriter(f"{prefix}.postcor")
-    poa_file = ec_data.EcWriter(f"{prefix}.poa")
-    # At genome scale the resident structures (reads_by_id, buckets, the
-    # parsed records) hold 10^8+ Python objects; every generational GC pass
-    # walks them all, which collapsed throughput ~100x at 100 Mbp.  They
-    # are acyclic (refcounting frees them) — freeze them into the permanent
-    # generation so collections only ever walk the loop's transients.  The
-    # collector stays ENABLED (no try/finally needed; an exception leaves
-    # only frozen-but-refcounted objects behind).
-    import gc
+def _ec_pass(recs, out_prefix, params, int_to_minimizer, buckets,
+             reads_by_id, tag=""):
+    """One sequential host-path EC pass over `recs`, writing
+    {out_prefix}.postcor.ec_data / {out_prefix}.poa.ec_data — the loop body
+    shared by the in-process driver and each forked shard worker
+    (main.rs:846-897)."""
+    import sys as _sys
+    import time as _time
 
-    gc.collect()
-    gc.freeze()
+    postcor = ec_data.EcWriter(f"{out_prefix}.postcor")
+    poa_file = ec_data.EcWriter(f"{out_prefix}.poa")
     corrected_map: dict = {}
     poa_map: dict = {}
-    for rec in records:
+    prog = os.environ.get("MDBG_EC_PROGRESS")
+    t0 = _time.perf_counter()
+    tlast, nlast = t0, 0
+    for i, rec in enumerate(recs):
+        if prog and i and i % 256 == 0:
+            now = _time.perf_counter()
+            print(f"# ec{tag} {i}/{len(recs)} "
+                  f"inst={_c0_rate(i - nlast, now - tlast):.1f} r/s "
+                  f"avg={_c0_rate(i, now - t0):.1f} r/s "
+                  f"ncorr={len(corrected_map)}", file=_sys.stderr, flush=True)
+            tlast, nlast = now, i
         if rec.seq_id in corrected_map:
             continue
         read = EcRead(rec.seq_id, rec.seq_str, rec.read_transformed,
@@ -359,6 +356,102 @@ def run_error_correction(prefix, params, int_to_minimizer, buckets,
     postcor.close()
     poa_file.flush()
     poa_file.close()
+
+
+def _ec_shard_worker(w, records, lo, hi, prefix, params, int_to_minimizer,
+                     buckets, reads_by_id):
+    """Forked child: records/buckets/reads_by_id are inherited copy-on-write
+    pages — nothing is pickled.  JAX must not be touched in the child (the
+    parent's device client does not survive fork), so the triage scorer is
+    pinned to its numpy twin."""
+    os.environ["MDBG_ALIGN_FORCE_NP"] = "1"
+    _ec_pass(records[lo:hi], f"{prefix}.part{w}", params, int_to_minimizer,
+             buckets, reads_by_id, tag=f"[w{w}]")
+
+
+def run_error_correction_procs(prefix, params, int_to_minimizer, buckets,
+                               reads_by_id_raw, nprocs):
+    """Process-parallel EC: fork `nprocs` workers over contiguous template
+    shards — the process analog of the reference's crossbeam thread-chunks
+    (main.rs:855-883).  Each worker runs the exact sequential host path over
+    its shard and writes {prefix}.part{w}.postcor/.poa part files; the
+    parent concatenates them in shard order.
+
+    Parity: with correction_threshold == 0 (the default) the corrected map
+    never populates, so the concatenated output is BYTE-IDENTICAL to the
+    sequential driver (tests/test_ec_procs.py).  With a threshold > 0 the
+    already-corrected skips are per-shard — a deterministic instance of the
+    reference's thread-racy corrected map (read.rs:529-543 under
+    main.rs:855-883's concurrent chunks)."""
+    import gc
+    import multiprocessing as mp
+    import shutil
+
+    records = ec_data.load(prefix)
+    reads_by_id = {
+        rid: EcRead(rid, r["seq"], r["transformed"], r["pos"])
+        for rid, r in reads_by_id_raw.items()
+    }
+    # freeze before forking: children inherit a permanent-generation heap,
+    # so no worker's GC ever walks the 10^8-object resident structures
+    gc.collect()
+    gc.freeze()
+    bounds = [len(records) * i // nprocs for i in range(nprocs + 1)]
+    ctx = mp.get_context("fork")
+    procs = []
+    for w in range(nprocs):
+        pr = ctx.Process(
+            target=_ec_shard_worker,
+            args=(w, records, bounds[w], bounds[w + 1], prefix, params,
+                  int_to_minimizer, buckets, reads_by_id))
+        pr.start()
+        procs.append(pr)
+    fails = []
+    for w, pr in enumerate(procs):
+        pr.join()
+        if pr.exitcode != 0:
+            fails.append((w, pr.exitcode))
+    if fails:
+        raise RuntimeError(f"EC shard workers failed (worker, exitcode): "
+                           f"{fails}")
+    for kind in ("postcor", "poa"):
+        with open(f"{prefix}.{kind}.ec_data", "w") as out:
+            for w in range(nprocs):
+                part = f"{prefix}.part{w}.{kind}.ec_data"
+                with open(part) as f:
+                    shutil.copyfileobj(f, out)
+                os.remove(part)
+    gc.unfreeze()
+
+
+def run_error_correction(prefix, params, int_to_minimizer, buckets,
+                         reads_by_id_raw):
+    """Correct all reads from prefix.ec_data; write .postcor/.poa files."""
+    nprocs = int(getattr(params, "ec_procs", 0))
+    if nprocs > 1:
+        return run_error_correction_procs(
+            prefix, params, int_to_minimizer, buckets, reads_by_id_raw,
+            nprocs)
+    if getattr(params, "ec_device_poa", False):
+        return run_error_correction_lockstep(
+            prefix, params, int_to_minimizer, buckets, reads_by_id_raw)
+    records = ec_data.load(prefix)
+    reads_by_id = {
+        rid: EcRead(rid, r["seq"], r["transformed"], r["pos"])
+        for rid, r in reads_by_id_raw.items()
+    }
+    # At genome scale the resident structures (reads_by_id, buckets, the
+    # parsed records) hold 10^8+ Python objects; every generational GC pass
+    # walks them all, which collapsed throughput ~100x at 100 Mbp.  They
+    # are acyclic (refcounting frees them) — freeze them into the permanent
+    # generation so collections only ever walk the loop's transients.  The
+    # collector stays ENABLED (no try/finally needed; an exception leaves
+    # only frozen-but-refcounted objects behind).
+    import gc
+
+    gc.collect()
+    gc.freeze()
+    _ec_pass(records, prefix, params, int_to_minimizer, buckets, reads_by_id)
     gc.unfreeze()
 
 

@@ -20,6 +20,7 @@ run the exact graph alignment only for survivors.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -111,7 +112,10 @@ def semiglobal_scores_batch(template, queries_list, gap=-1, match=1,
         return np.zeros(0, dtype=np.int32)
     B = len(queries_list)
     Qmax = max(len(q) for q in queries_list)
-    if B * len(template) * max(1, Qmax) < _NP_CUTOFF:
+    # forked EC workers (models/correct.run_error_correction_procs) must not
+    # touch JAX — the parent's device client does not survive fork
+    force_np = bool(os.environ.get("MDBG_ALIGN_FORCE_NP"))
+    if force_np or B * len(template) * max(1, Qmax) < _NP_CUTOFF:
         qs = np.zeros((B, Qmax), dtype=np.uint64)
         qlens = np.zeros(B, dtype=np.int64)
         for i, q in enumerate(queries_list):

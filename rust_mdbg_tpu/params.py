@@ -55,6 +55,16 @@ class Params:
     chunk_reads: int = 0       # >0: force chunked >HBM counting (core/chunked.py)
     ec_device_poa: bool = False  # batched device POA DP over lockstep chunks
     ec_chunk: int = 32         # templates per lockstep chunk (device EC)
+    # >1: fork that many EC worker processes over contiguous template shards
+    # (the process analog of the reference's crossbeam thread-chunks,
+    # main.rs:855-883).  Workers run the exact host path (numpy triage only;
+    # no JAX post-fork) and write part files the parent concatenates in shard
+    # order.  Byte-identical to the sequential driver when
+    # correction_threshold == 0 (the default: the corrected map never
+    # populates); with a threshold, already-corrected skips are per-shard —
+    # the deterministic analog of the reference's thread-racy corrected map.
+    # Takes precedence over ec_device_poa (one TPU client cannot be forked).
+    ec_procs: int = 0
     # minimum shared n-minimizer windows for a bucket candidate to reach the
     # distance filter.  Low-complexity HPC patterns create buckets holding a
     # constant FRACTION of all reads (heavy-tailed n-tuple occurrence
