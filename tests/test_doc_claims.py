@@ -113,3 +113,18 @@ def test_ec_scale_claim():
                    f"{a['rate_reads_per_s']} reads/s",
                    f"{a['ec_before_identity']} -> {a['ec_after_identity']}"):
         assert quoted in txt, f"README missing artifact value: {quoted!r}"
+
+
+def test_ec_scale_procs_claim():
+    """README/ROADMAP's --ec-procs sentences must quote EC_SCALE_PROCS.json's
+    own fields (ec phase wall, aggregate rate, worker count)."""
+    a = _art("EC_SCALE_PROCS.json")
+    agg = f"{a['rate_reads_per_s']} r"
+    txt = _doc("README.md")
+    if "EC_SCALE_PROCS.json" in txt:
+        assert f"{a['ec_s']} s" in txt, "README missing EC phase wall"
+        assert agg in txt, "README missing aggregate rate"
+        assert f"--ec-procs {a['ec_procs']}" in txt, "README worker count"
+    txt = _doc("ROADMAP.md")
+    if "EC_SCALE_PROCS.json" in txt:
+        assert agg in txt, "ROADMAP missing aggregate rate"
