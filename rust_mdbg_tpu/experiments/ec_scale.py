@@ -73,7 +73,10 @@ def run_ec_scale(genome_mbp: float, coverage: float = 30,
     return dict(
         **acc,
         genome_mbp=genome_mbp, coverage=coverage, read_len=read_len,
-        error_rate=error_rate, device_poa=device_poa, ec_procs=ec_procs,
+        # effective mode: ec_procs >= 1 overrides the device-POA driver
+        # (models/correct.run_error_correction dispatch)
+        error_rate=error_rate, device_poa=device_poa and ec_procs < 1,
+        ec_procs=ec_procs,
         total_gbp=round(info["total_bases"] / 1e9, 4),
         synth_s=round(t_synth, 1), wall_s=round(t_run, 1),
         ec_s=round(phases.get("error-correct", 0.0), 1),

@@ -379,13 +379,36 @@ def run_error_correction_procs(prefix, params, int_to_minimizer, buckets,
 
     Parity: with correction_threshold == 0 (the default) the corrected map
     never populates, so the concatenated output is BYTE-IDENTICAL to the
-    sequential driver (tests/test_ec_procs.py).  With a threshold > 0 the
-    already-corrected skips are per-shard — a deterministic instance of the
-    reference's thread-racy corrected map (read.rs:529-543 under
-    main.rs:855-883's concurrent chunks)."""
+    sequential driver (tests/test_ec_procs.py) — assuming unique read ids
+    (sequential poa_map dedups duplicate-id templates into one .poa line,
+    while duplicate ids split across shards would emit one line each).
+    With a threshold > 0 the already-corrected skips are per-shard — a
+    deterministic instance of the reference's thread-racy corrected map
+    (read.rs:529-543 under main.rs:855-883's concurrent chunks)."""
     import gc
     import multiprocessing as mp
     import shutil
+    import sys
+
+    if "fork" not in mp.get_all_start_methods():
+        raise RuntimeError(
+            "--ec-procs needs the 'fork' start method (workers inherit the "
+            "parsed corpus copy-on-write); unavailable on this platform — "
+            "drop --ec-procs to run the sequential driver")
+    jx = sys.modules.get("jax")
+    if jx is not None:
+        try:
+            live = bool(jx._src.xla_bridge._backends)
+        except Exception:
+            live = False
+        if live:
+            import warnings
+
+            warnings.warn(
+                "--ec-procs forking with a live JAX device client in the "
+                "parent; XLA does not support fork — workers avoid JAX "
+                "(MDBG_ALIGN_FORCE_NP) but inherited client state can still "
+                "deadlock on some backends")
 
     records = ec_data.load(prefix)
     reads_by_id = {
@@ -398,37 +421,49 @@ def run_error_correction_procs(prefix, params, int_to_minimizer, buckets,
     gc.freeze()
     bounds = [len(records) * i // nprocs for i in range(nprocs + 1)]
     ctx = mp.get_context("fork")
-    procs = []
-    for w in range(nprocs):
-        pr = ctx.Process(
-            target=_ec_shard_worker,
-            args=(w, records, bounds[w], bounds[w + 1], prefix, params,
-                  int_to_minimizer, buckets, reads_by_id))
-        pr.start()
-        procs.append(pr)
-    fails = []
-    for w, pr in enumerate(procs):
-        pr.join()
-        if pr.exitcode != 0:
-            fails.append((w, pr.exitcode))
-    if fails:
-        raise RuntimeError(f"EC shard workers failed (worker, exitcode): "
-                           f"{fails}")
-    for kind in ("postcor", "poa"):
-        with open(f"{prefix}.{kind}.ec_data", "w") as out:
+    try:
+        procs = []
+        for w in range(nprocs):
+            pr = ctx.Process(
+                target=_ec_shard_worker,
+                args=(w, records, bounds[w], bounds[w + 1], prefix, params,
+                      int_to_minimizer, buckets, reads_by_id))
+            pr.start()
+            procs.append(pr)
+        fails = []
+        for w, pr in enumerate(procs):
+            pr.join()
+            if pr.exitcode != 0:
+                fails.append((w, pr.exitcode))
+        if fails:
+            raise RuntimeError(f"EC shard workers failed (worker, exitcode): "
+                               f"{fails}")
+        for kind in ("postcor", "poa"):
+            with open(f"{prefix}.{kind}.ec_data", "w") as out:
+                for w in range(nprocs):
+                    part = f"{prefix}.part{w}.{kind}.ec_data"
+                    with open(part) as f:
+                        shutil.copyfileobj(f, out)
+    finally:
+        # success or failure, no stale part files survive (a later run would
+        # silently re-concatenate them on a name collision)
+        for kind in ("postcor", "poa"):
             for w in range(nprocs):
-                part = f"{prefix}.part{w}.{kind}.ec_data"
-                with open(part) as f:
-                    shutil.copyfileobj(f, out)
-                os.remove(part)
-    gc.unfreeze()
+                try:
+                    os.remove(f"{prefix}.part{w}.{kind}.ec_data")
+                except OSError:
+                    pass
+        gc.unfreeze()
 
 
 def run_error_correction(prefix, params, int_to_minimizer, buckets,
                          reads_by_id_raw):
     """Correct all reads from prefix.ec_data; write .postcor/.poa files."""
     nprocs = int(getattr(params, "ec_procs", 0))
-    if nprocs > 1:
+    if nprocs >= 1:
+        # >= 1, not > 1: --ec-procs takes precedence over --ec-device-poa
+        # (params.py doc), so --ec-procs 1 runs one forked shard worker
+        # (tests/test_ec_procs.py::test_ec_procs_single_worker_identical)
         return run_error_correction_procs(
             prefix, params, int_to_minimizer, buckets, reads_by_id_raw,
             nprocs)
