@@ -136,6 +136,7 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
         chunk_slots=(1 if params.reference
                      else min(params.min_kmer_abundance, MAX_CHUNK_SLOTS)),
         mpos_u16=L <= 65535,
+        with_ext=not (params.reads_already_hpc or params.seq_ref_cuts),
     )
     packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack); L is 512-aligned
     # L carries 2x headroom over the sampled max read length (reads longer
@@ -284,6 +285,18 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
             shift0 = (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16)
             shift1 = (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16)
             rev = (meta[:, 2] >> 31).astype(np.uint8)
+            seq_shift0, seq_shift1 = shift0, shift1
+            ext_delta = 0
+            if meta.shape[1] > 5:
+                # exact-cut corrections (extpack col, ops/sort_count gather)
+                from ..ops.extract import _unpack_ext
+
+                ext_delta, de1 = _unpack_ext(meta[:, 5])
+                r = rev.astype(bool)
+                seq_shift0 = np.where(r, shift0 + de1, shift0) \
+                    .astype(np.uint16)
+                seq_shift1 = np.where(r, shift1, shift1 + de1) \
+                    .astype(np.uint16)
             with timer.phase("meta"):
                 index_c = table.set_meta_batch(res["key_lo"][cross],
                                                res["key_hi"][cross],
@@ -300,11 +313,11 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
                     start = meta[:, 3].astype(np.int64)
                     rows = meta[:, 4].astype(np.int64)
                     abs_start = blob_off[rows] + start
-                    abs_end = abs_start + seqlen + (params.l - 2)
+                    abs_end = abs_start + seqlen + (params.l - 2) + ext_delta
                     write_records_native(
                         f"{prefix}.{chunk_i}.sequences", params.k, params.l,
                         index_c, vec, blob, abs_start, abs_end, rev,
-                        shift0, shift1,
+                        seq_shift0, seq_shift1,
                         hash_bound=params.hash_bound if rec_ok else 0,
                         mpos=mpos)
         with timer.phase("reset"):

@@ -217,7 +217,12 @@ class LazyNodes:
 
 
 def _node_offsets(params, meta, row_start_offsets):
-    """Decode the packed finalize meta into writer-ready arrays."""
+    """Decode the packed finalize meta into writer-ready arrays.
+
+    Returns (shift0, shift1, seq_shift0, seq_shift1, rev, abs_start,
+    abs_end): the first pair is the node-table/GFA pair (reference
+    semantics), the second the exact-cut pair written to .sequences — equal
+    unless the 6-col meta carries the extpack column (raw-input runs)."""
     seqlen = meta[:, 0].astype(np.int64)
     shift0 = (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16)
     shift1 = (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16)
@@ -226,7 +231,16 @@ def _node_offsets(params, meta, row_start_offsets):
     read_g = meta[:, 4].astype(np.int64)
     abs_start = row_start_offsets[read_g] + start
     abs_end = abs_start + seqlen + (params.l - 2)
-    return shift0, shift1, rev, abs_start, abs_end
+    seq_shift0, seq_shift1 = shift0, shift1
+    if meta.shape[1] > 5:
+        from ..ops.extract import _unpack_ext
+
+        ext_delta, de1 = _unpack_ext(meta[:, 5])
+        abs_end = abs_end + ext_delta
+        r = rev.astype(bool)
+        seq_shift0 = np.where(r, shift0 + de1, shift0).astype(np.uint16)
+        seq_shift1 = np.where(r, shift1, shift1 + de1).astype(np.uint16)
+    return shift0, shift1, seq_shift0, seq_shift1, rev, abs_start, abs_end
 
 
 def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
@@ -253,7 +267,7 @@ def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
     count = nodes.fetch("count")
     n = nodes.n_pass
     index = np.arange(n, dtype=np.uint32)
-    shift0, shift1, rev, abs_start, abs_end = _node_offsets(
+    shift0, shift1, sq0, sq1, rev, abs_start, abs_end = _node_offsets(
         params, meta, row_start_offsets)
     seqlen32 = meta[:, 0].astype(np.uint32)
 
@@ -268,8 +282,8 @@ def emit_device_outputs(prefix: str, params, nodes: LazyNodes,
                 target=write_records_native,
                 args=(f"{prefix}.{shard}.sequences", params.k, params.l,
                       index[row0:hi], vec, reads_buf, abs_start[row0:hi],
-                      abs_end[row0:hi], rev[row0:hi], shift0[row0:hi],
-                      shift1[row0:hi]),
+                      abs_end[row0:hi], rev[row0:hi], sq0[row0:hi],
+                      sq1[row0:hi]),
             )
             t.start()
             writers.append(t)
@@ -351,7 +365,7 @@ class PhasedEmitter:
         meta = nodes.fetch("meta")
         index = np.arange(self.id_base, self.id_base + n, dtype=np.uint32)
         self.id_base += n
-        shift0, shift1, rev, abs_start, abs_end = _node_offsets(
+        shift0, shift1, sq0, sq1, rev, abs_start, abs_end = _node_offsets(
             p, meta, ro)
         seqlen32 = meta[:, 0].astype(np.uint32)
 
@@ -368,7 +382,7 @@ class PhasedEmitter:
                     target=self._write,
                     args=(f"{self.prefix}.{self.shard}.sequences", p.k, p.l,
                           index[a:b], None, rb, abs_start[a:b],
-                          abs_end[a:b], rev[a:b], shift0[a:b], shift1[a:b]),
+                          abs_end[a:b], rev[a:b], sq0[a:b], sq1[a:b]),
                     kwargs=dict(hash_bound=p.hash_bound, accel=self.accel,
                                 mpos=None if mpos is None else mpos[a:b]),
                 )
@@ -398,8 +412,10 @@ class PhasedEmitter:
                                    seqlen32[row0:hi], shift0[row0:hi],
                                    shift1[row0:hi],
                                    (Fs, Fp, FsR, FpR, key_suf, key_pre))
+        # the fallback rewrite needs the .sequences cut pair (sq0/sq1), not
+        # the GFA pair (which _meta_parts keeps for the host join)
         self._phases.append((nodes, index, abs_start, abs_end, rev,
-                             shift0, shift1, rb))
+                             sq0, sq1, rb))
 
     def finish(self, counts: np.ndarray, pot=None) -> dict:
         """counts: whole-run abundances for ALL emitted nodes, in id order

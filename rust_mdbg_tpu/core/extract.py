@@ -26,12 +26,17 @@ class WindowBatch:
     key_lo: np.ndarray      # uint64 [N]
     key_hi: np.ndarray      # uint64 [N]
     seqlen: np.ndarray      # uint32 [N]  (pos[i+k-1]-pos[i]+2, main.rs:778)
-    shift0: np.ndarray      # uint16 [N]  (orientation-adjusted)
+    shift0: np.ndarray      # uint16 [N]  (orientation-adjusted, node-table/GFA)
     shift1: np.ndarray      # uint16 [N]
     reversed_: np.ndarray   # bool   [N]
     read_row: np.ndarray    # int32  [N]  row in the ReadBatch
     start: np.ndarray       # int64  [N]  raw seq slice start (pos[i])
-    end: np.ndarray         # int64  [N]  raw seq slice end (pos[i+k-1]+l)
+    end: np.ndarray         # int64  [N]  raw record span end: full HPC extent
+    #                         of the last l-mer (ops/hpc.extent_ends_np), or
+    #                         pos[i+k-1]+l under seq_ref_cuts / quirk schemes
+    # .sequences cut pair (exact junctions; == shift0/1 when spans are pos+l)
+    seq_shift0: np.ndarray  # uint16 [N]
+    seq_shift1: np.ndarray  # uint16 [N]
     vecs: np.ndarray        # uint64 [N, k]  canonical minimizer vectors
     # per-read minimizer data (for EC / ec_data): row -> (positions, hashes)
     minimizers: list
@@ -86,8 +91,16 @@ def extract_windows_host(batch, params, minimizer_to_int=None,
     k, l = params.k, params.l
     key_lo, key_hi = [], []
     seqlen, s0, s1, rev, rows, starts, ends = [], [], [], [], [], [], []
+    q0, q1 = [], []
     vecs = []
     minims = []
+    # exact-junction record spans need full HPC extents; the UHS/LCP quirk
+    # schemes carry HPC-space positions (pos + l is self-consistent there)
+    # and seq_ref_cuts pins the reference's raw+l semantics (parity oracle)
+    want_ends = not (params.uhs or params.lcp
+                     or getattr(params, "seq_ref_cuts", False))
+    if want_ends:
+        from ..ops.hpc import extent_ends_np
     B = batch.codes.shape[0]
     for row in range(B):
         n = int(batch.lengths[row])
@@ -104,11 +117,16 @@ def extract_windows_host(batch, params, minimizer_to_int=None,
         minims.append((pos, hashes))
         if hashes.shape[0] <= k:  # strict: main.rs:756
             continue
-        for w in window_kminmers_np(pos, hashes, k, l):
+        pos_end = (extent_ends_np(codes, pos, l,
+                                  already_hpc=params.reads_already_hpc)
+                   if want_ends else None)
+        for w in window_kminmers_np(pos, hashes, k, l, pos_end=pos_end):
             vecs.append(w["vec"])
             seqlen.append(w["seqlen"])
             s0.append(w["shift"][0])
             s1.append(w["shift"][1])
+            q0.append(w["seq_shift"][0])
+            q1.append(w["seq_shift"][1])
             rev.append(w["reversed"])
             rows.append(row)
             starts.append(w["start"])
@@ -129,6 +147,8 @@ def extract_windows_host(batch, params, minimizer_to_int=None,
         read_row=np.asarray(rows, dtype=np.int32),
         start=np.asarray(starts, dtype=np.int64),
         end=np.asarray(ends, dtype=np.int64),
+        seq_shift0=np.asarray(q0, dtype=np.uint16),
+        seq_shift1=np.asarray(q1, dtype=np.uint16),
         vecs=va,
         minimizers=minims,
     )

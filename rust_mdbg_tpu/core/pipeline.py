@@ -169,7 +169,7 @@ def assemble(reads_path: str, params: Params, prefix: str,
                             s = revcomp(s)
                         seq_writer.record(
                             int(index[j]), vecs[vi], s, "*",
-                            (int(wb.shift0[j]), int(wb.shift1[j])),
+                            (int(wb.seq_shift0[j]), int(wb.seq_shift1[j])),
                         )
 
             if need_ec_file:
@@ -304,6 +304,7 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
         minab=params.min_kmer_abundance, w_slot=W_slot,
         emit_overlap_keys=minimizer_recompute_ok(params),
         mpos_u16=L <= 65535,
+        with_ext=not (params.reads_already_hpc or params.seq_ref_cuts),
     )
     packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack)
     construct = make_fused_construct(params, B, L, M, CHUNK_BATCHES,

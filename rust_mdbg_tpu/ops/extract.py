@@ -29,7 +29,7 @@ from ..utils.seq import BASE_CODE
 def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
                     use_pallas=False, compact_output=False,
                     count_output=False, syncmer=None, lmer=False,
-                    filter_mode=None, filter_bloom=False):
+                    filter_mode=None, filter_bloom=False, ref_cuts=False):
     import jax.numpy as jnp
 
     from .hpc import hpc_jax, _scatter2d
@@ -66,6 +66,19 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
         # reference quirk (read.rs:119-120,151-152): UHS/LCP extraction pushes
         # the HPC-space index as the position, not the raw-position map
         pos_map = jnp.broadcast_to(idx[None, :], (B, L)).astype(jnp.int32)
+    # full-HPC-extent end map for exact .sequences record spans (the device
+    # twin of ops/hpc.extent_ends_np): pme[b, j] = raw start of HPC base j+l
+    # (the extent end of the l-mer at HPC index j), or the raw read length
+    # when the l-mer runs to the read end.  Not needed when hashing space ==
+    # sequence space (already_hpc / UHS-LCP quirk) — there pos + l is exact.
+    want_ext = not (already_hpc or filter_mode is not None or ref_cuts)
+    if want_ext:
+        in_range = (idx[None, :] + l) < hpc_len[:, None]
+        shifted = jnp.concatenate(
+            [pos_map[:, l:], jnp.zeros((B, l), dtype=pos_map.dtype)], axis=1)
+        pme = jnp.where(in_range, shifted, lengths[:, None])
+    else:
+        pme = pos_map + l
 
     # hash + select
     import jax
@@ -162,6 +175,8 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
                            jnp.uint64(0))
     minim_pos = jnp.where(in_range, jnp.take_along_axis(pos_map, perm_m, axis=1),
                           jnp.int32(0))
+    minim_end = jnp.where(in_range, jnp.take_along_axis(pme, perm_m, axis=1),
+                          jnp.int32(0))
 
     if count_output:
         # Counting path: per-window 128-bit canonical fingerprints computed
@@ -181,6 +196,10 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
         nw = jnp.where(n_min > k, n_min - k + 1, 0).astype(jnp.int32)
         out = dict(keys=keys, mh=minim_hash, mp=minim_pos, nw=nw,
                    overflow=overflow)
+        if want_ext:
+            # extent-end rows for exact record spans (ops/sort_count gathers
+            # the crossing occurrence's boundary extents from these)
+            out["mpe"] = minim_end
         if fstate_out is not None:
             out["fstate"] = fstate_out
         return out
@@ -200,13 +219,22 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
     seqlen = (wpos[..., k - 1] - wpos[..., 0] + 2).astype(jnp.int32)
     start = wpos[..., 0]
     end = wpos[..., k - 1] + l
+    # exact record-span end + .sequences cut pair from boundary l-mer
+    # extents (== end / shift pair whenever pme is pos + l)
+    wend_prev = minim_end[:, k - 2 : k - 2 + W]
+    wend_last = minim_end[:, k - 1 : k - 1 + W]
+    d_last_e = (wend_last - wend_prev).astype(jnp.int32)
+    seq_shift0 = jnp.where(reversed_, d_last_e, d_first)
+    seq_shift1 = jnp.where(reversed_, d_first, d_last_e)
+    end_ext = wend_last
     fp = fingerprint128_jax(canon_vecs)
 
     if not compact_output:
         out = dict(
             key_lo=fp[..., 0], key_hi=fp[..., 1], vecs=canon_vecs,
             reversed_=reversed_, shift0=shift0, shift1=shift1, seqlen=seqlen,
-            start=start, end=end, valid_w=valid_w,
+            start=start, end=end, end_ext=end_ext,
+            seq_shift0=seq_shift0, seq_shift1=seq_shift1, valid_w=valid_w,
             minim_hash=minim_hash, minim_pos=minim_pos, n_min=n_min,
             overflow=overflow,
         )
@@ -225,15 +253,28 @@ def _device_extract(codes, lengths, *tables, l, k, hash_bound, M, already_hpc,
         # zero them so packed high bits stay trustworthy
         return jnp.where(valid_w, x, 0).astype(jnp.uint32)
 
-    meta = jnp.stack(
-        [
-            clean(seqlen),
-            clean(shift0) | (valid_w.astype(jnp.uint32) << 31),
-            clean(shift1) | (reversed_.astype(jnp.uint32) << 31),
-            clean(start),
-        ],
-        axis=-1,
-    )
+    cols = [
+        clean(seqlen),
+        clean(shift0) | (valid_w.astype(jnp.uint32) << 31),
+        clean(shift1) | (reversed_.astype(jnp.uint32) << 31),
+        clean(start),
+    ]
+    if want_ext:
+        # 5th column: exact-cut corrections packed as
+        # (end_ext - end) << 16 | (d_last_e - d_last + 0x8000) — both small
+        # by construction (homopolymer-run excess of one l-mer); a >u16/s16
+        # value would need a >64 KB homopolymer run inside one l-mer, folded
+        # into the per-read overflow flag (exact host fallback) if it ever
+        # happens
+        ext_delta = (end_ext - end).astype(jnp.int32)
+        de1 = d_last_e - d_last
+        bad = ((ext_delta > 0xFFFF) | (de1 > 0x7FFF) | (de1 < -0x8000)) \
+            & valid_w
+        overflow = overflow | bad.any(axis=1)
+        extpack = ((clean(jnp.minimum(ext_delta, 0xFFFF)) << 16)
+                   | clean(jnp.clip(de1 + 0x8000, 0, 0xFFFF)))
+        cols.append(extpack)
+    meta = jnp.stack(cols, axis=-1)
     out = dict(
         keys=fp, meta=meta, vecs=canon_vecs,
         minim_hash=minim_hash, minim_pos=minim_pos, n_min=n_min,
@@ -494,6 +535,14 @@ def _window_keys_poly(mh, k: int, M: int):
     return jnp.stack(lanes, axis=-1)
 
 
+def _unpack_ext(extpack: np.ndarray):
+    """Decode the compact meta extpack column -> (ext_delta i64 >= 0,
+    de1 i64 = d_last_e - d_last, sign-restored)."""
+    ext_delta = (extpack >> 16).astype(np.int64)
+    de1 = (extpack & 0xFFFF).astype(np.int64) - 0x8000
+    return ext_delta, de1
+
+
 class CompactWindows:
     """Valid windows of one batch, fetched with minimal device->host traffic.
 
@@ -502,8 +551,8 @@ class CompactWindows:
     for the rare abundance-crossing windows)."""
 
     __slots__ = ("key_lo", "key_hi", "seqlen", "shift0", "shift1", "reversed_",
-                 "read_row", "start", "end", "n_windows", "_dev_vecs",
-                 "_gather", "_win_index")
+                 "read_row", "start", "end", "seq_shift0", "seq_shift1",
+                 "n_windows", "_dev_vecs", "_gather", "_win_index")
 
     def vecs_for(self, indices: np.ndarray) -> np.ndarray:
         """Canonical minimizer vectors for flattened window positions
@@ -593,6 +642,7 @@ class DeviceExtractor:
                     lmer=self._lmer is not None,
                     filter_mode=self.filter_mode,
                     filter_bloom=self._filter_bloom,
+                    ref_cuts=getattr(p, "seq_ref_cuts", False),
                 )
             )
         return self._fns[key]
@@ -707,7 +757,7 @@ class DeviceExtractor:
             wb = self(batch)
             return _compact_from_windowbatch(wb)
         keys = np.asarray(out["keys"])      # [B, W, 2] u64
-        meta = np.asarray(out["meta"])      # [B, W, 4] u32
+        meta = np.asarray(out["meta"])      # [B, W, 4(+extpack)] u32
         valid = (meta[..., 1] >> 31) > 0
         rows, wins = np.nonzero(valid)
         W = valid.shape[1]
@@ -722,6 +772,15 @@ class DeviceExtractor:
         cw.read_row = rows.astype(np.int32)
         cw.start = m[:, 3].astype(np.int64)
         cw.end = cw.start + cw.seqlen.astype(np.int64) + (p.l - 2)
+        cw.seq_shift0, cw.seq_shift1 = cw.shift0, cw.shift1
+        if meta.shape[-1] > 4:
+            # exact-cut corrections (extpack col, see _device_extract)
+            ext_delta, de1 = _unpack_ext(m[:, 4])
+            cw.end = cw.end + ext_delta
+            cw.seq_shift0 = np.where(cw.reversed_, cw.shift0 + de1,
+                                     cw.shift0).astype(np.uint16)
+            cw.seq_shift1 = np.where(cw.reversed_, cw.shift1,
+                                     cw.shift1 + de1).astype(np.uint16)
         cw.n_windows = len(rows)
         cw._dev_vecs = out["vecs"]
         cw._gather = self._gather
@@ -780,7 +839,9 @@ class DeviceExtractor:
             reversed_=out["reversed_"][rows, wins],
             read_row=rows.astype(np.int32),
             start=out["start"][rows, wins].astype(np.int64),
-            end=out["end"][rows, wins].astype(np.int64),
+            end=out["end_ext"][rows, wins].astype(np.int64),
+            seq_shift0=out["seq_shift0"][rows, wins].astype(np.uint16),
+            seq_shift1=out["seq_shift1"][rows, wins].astype(np.uint16),
             vecs=out["vecs"][rows, wins],
             minimizers=[
                 (
@@ -918,6 +979,8 @@ def _compact_from_windowbatch(wb) -> CompactWindows:
     cw.read_row = wb.read_row
     cw.start = wb.start
     cw.end = wb.end
+    cw.seq_shift0 = wb.seq_shift0
+    cw.seq_shift1 = wb.seq_shift1
     cw.n_windows = len(wb.key_lo)
     cw._dev_vecs = cw._gather = cw._win_index = None
     cw._host_vecs = wb.vecs
@@ -957,6 +1020,8 @@ def _merge_host_rows(wb, batch, rows, params, m2i=None):
         reversed_=cat(wb.reversed_, hb.reversed_),
         read_row=cat(wb.read_row, hb_rows),
         start=cat(wb.start, hb.start), end=cat(wb.end, hb.end),
+        seq_shift0=cat(wb.seq_shift0, hb.seq_shift0),
+        seq_shift1=cat(wb.seq_shift1, hb.seq_shift1),
         vecs=np.concatenate([wb.vecs, hb.vecs])[order],
         minimizers=minims,
     )

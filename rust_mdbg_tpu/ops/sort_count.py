@@ -159,9 +159,9 @@ def _scan_min_i32_rev_excl(x, fill: int):
     return y[..., ::-1]
 
 
-def _finalize_compact(b_lo, b_hi, b_occ, b_mh, b_mp, *, k, M, minab,
-                      node_cap, pass_cap, emit_mpos=False, prefix_rows=None,
-                      mpos_u16=False):
+def _finalize_compact(b_lo, b_hi, b_occ, b_mh, b_mp, b_mpe=None, *, k, M,
+                      minab, node_cap, pass_cap, emit_mpos=False,
+                      prefix_rows=None, mpos_u16=False):
     """Sort + segment-reduce for the single-chip compact layout.
 
     b_lo/b_hi [read_cap*W_slot] batch-compacted key halves (valid windows
@@ -251,7 +251,8 @@ def _finalize_compact(b_lo, b_hi, b_occ, b_mh, b_mp, *, k, M, minab,
     # meta layout matches the window-carrying path: (seqlen, shift0|valid<<31,
     # shift1|rev<<31, start, global read row)
     gw = _gather_window_meta(b_mh, b_mp, cross_occ_p, k=k, M=M,
-                             with_record_pos=emit_mpos, pos_u16=mpos_u16)
+                             with_record_pos=emit_mpos, pos_u16=mpos_u16,
+                             b_mpe=b_mpe)
     out = dict(
         key_lo=u_lo[order], key_hi=u_hi[order], count=counts[order],
         vec=gw[0],
@@ -260,7 +261,7 @@ def _finalize_compact(b_lo, b_hi, b_occ, b_mh, b_mp, *, k, M, minab,
                           jnp.maximum(0, n_pass - pass_cap)]),
     )
     meta = gw[1]
-    if mpos_u16:
+    if mpos_u16 and b_mpe is None:
         # u16 wire packing (valid whenever the staged read width fits u16,
         # the same gate as mpos_u16): (seqlen, shift0, shift1, start) as
         # [n, 4] u16 + (row | rev<<31) u32 — 12 B/node over the relay
@@ -364,7 +365,7 @@ def _finalize_chunk(b_lo, b_hi, b_occ, *, node_cap, slots=2):
 
 
 def _gather_window_meta(b_mh, b_mp, occs, *, k, M, with_record_pos=False,
-                        pos_u16=False):
+                        pos_u16=False, b_mpe=None):
     """Reconstruct (canonical vec, seqlen, shift0, shift1, rev, start, row)
     for a list of window occurrences (chunk-local), gathering k-slices from
     the compact per-read minimizer rows — shared by the whole-run finalize
@@ -375,7 +376,12 @@ def _gather_window_meta(b_mh, b_mp, occs, *, k, M, with_record_pos=False,
     flipped into stored orientation for reversed crossings) — the native
     .sequences writer uses these to re-derive values by hashing exactly k
     l-mers instead of rolling over every base (native/seqwriter.cpp
-    positions mode)."""
+    positions mode).
+
+    b_mpe (raw-input runs): per-minimizer full-HPC-extent ends
+    (ops/extract `mpe` plane) — appends the exact-cut extpack column
+    ((end_ext - end) << 16 | (d_last_e - d_last + 0x8000), matching
+    ops/extract's compact meta) as meta column 5."""
     import jax.numpy as jnp
 
     from .kminmer import canonicalize_jax
@@ -392,16 +398,27 @@ def _gather_window_meta(b_mh, b_mp, occs, *, k, M, with_record_pos=False,
     shift0 = jnp.where(rev, d_last, d_first).astype(jnp.uint32)
     shift1 = jnp.where(rev, d_first, d_last).astype(jnp.uint32)
     seqlen = (pos_f[:, k - 1] - pos_f[:, 0] + 2).astype(jnp.uint32)
-    meta = jnp.stack(
-        [
-            seqlen,
-            shift0 | jnp.uint32(1 << 31),
-            shift1 | (rev.astype(jnp.uint32) << 31),
-            pos_f[:, 0].astype(jnp.uint32),
-            rows.astype(jnp.uint32),
-        ],
-        axis=-1,
-    )
+    cols = [
+        seqlen,
+        shift0 | jnp.uint32(1 << 31),
+        shift1 | (rev.astype(jnp.uint32) << 31),
+        pos_f[:, 0].astype(jnp.uint32),
+        rows.astype(jnp.uint32),
+    ]
+    if b_mpe is not None:
+        pe_idx = (rows * M + wins)[:, None] + jnp.asarray(
+            [k - 2, k - 1], dtype=jnp.int32)[None, :]
+        pos_e = b_mpe.reshape(-1)[pe_idx].astype(jnp.int32)
+        # b_mpe stores (extent_end - l), not extent_end: the bias makes
+        # ext_delta = end_ext - (pos + l) computable without threading l
+        # here, and end-differences (d_last_e) are bias-invariant — see
+        # make_fused_construct's append
+        ext_delta = (pos_e[:, 1] - pos_f[:, k - 1]).astype(jnp.int32)
+        de1 = (pos_e[:, 1] - pos_e[:, 0]) - d_last
+        extpack = ((jnp.clip(ext_delta, 0, 0xFFFF).astype(jnp.uint32) << 16)
+                   | jnp.clip(de1 + 0x8000, 0, 0xFFFF).astype(jnp.uint32))
+        cols.append(extpack)
+    meta = jnp.stack(cols, axis=-1)
     if not with_record_pos:
         return canon_vec, meta
     # record length is span + l, so the last l-mer starts at span = rel[k-1];
@@ -461,8 +478,10 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
     ek = dict(l=params.l, k=params.k, hash_bound=params.hash_bound, M=M,
               already_hpc=params.reads_already_hpc, count_output=True,
               use_pallas=(params.engine == "pallas" and syncmer is None),
-              syncmer=syncmer)
+              syncmer=syncmer,
+              ref_cuts=getattr(params, "seq_ref_cuts", False))
     sentinel = ~np.uint64(0)
+    l_bias = params.l  # mpe plane stores extent_end - l (see gather)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def construct(all_codes, all_lengths, buffers, read_base=0,
@@ -477,7 +496,8 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
         read_base = jnp.asarray(read_base).astype(jnp.int32)
 
         def body(i, carry):
-            (b_lo, b_hi, b_occ, b_mh, b_mp), n_win, n_over = carry
+            bufs_c, n_win, n_over = carry
+            (b_lo, b_hi, b_occ, b_mh, b_mp) = bufs_c[:5]
             if packed:
                 pk, mk = all_codes
                 p_b = jax.lax.dynamic_slice(pk, (i * B, 0), (B, L // 4))
@@ -527,10 +547,17 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
                 b_mh, out["mh"], (row0, jnp.int32(0)))
             b_mp = jax.lax.dynamic_update_slice(
                 b_mp, out["mp"], (row0, jnp.int32(0)))
+            new_bufs = (b_lo, b_hi, b_occ, b_mh, b_mp)
+            if len(bufs_c) > 5:
+                # exact-cut extent plane, biased by -l (see
+                # _gather_window_meta's extpack reconstruction)
+                b_mpe = jax.lax.dynamic_update_slice(
+                    bufs_c[5], out["mpe"] - jnp.int32(l_bias),
+                    (row0, jnp.int32(0)))
+                new_bufs = new_bufs + (b_mpe,)
             n_over = (n_over + out["overflow"].sum().astype(jnp.int32)
                       + (nv > S).astype(jnp.int32))
-            return (b_lo, b_hi, b_occ, b_mh, b_mp), \
-                n_win + jnp.minimum(nv, S), n_over
+            return new_bufs, n_win + jnp.minimum(nv, S), n_over
 
         bufs, n_win, n_over = jax.lax.fori_loop(
             batch_lo, batch_hi, body, (buffers, jnp.int32(0), jnp.int32(0))
@@ -603,7 +630,8 @@ class DeviceNodeCounter:
     def __init__(self, k: int, M: int, read_cap: int, node_cap: int,
                  minab: int, pass_cap: int | None = None,
                  w_slot: int | None = None, emit_overlap_keys: bool = False,
-                 chunk_slots: int = 2, mpos_u16: bool = False):
+                 chunk_slots: int = 2, mpos_u16: bool = False,
+                 with_ext: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -623,6 +651,11 @@ class DeviceNodeCounter:
         self.emit_overlap_keys = emit_overlap_keys
         # u16 record positions (only when the caller's staged width fits)
         self.mpos_u16 = mpos_u16
+        # raw (non-pre-HPC) inputs: carry the per-minimizer extent plane so
+        # the crossing gather can emit the exact-cut extpack meta column
+        # (recompute mode is HPC-only, so the two never combine)
+        self.with_ext = with_ext
+        assert not (with_ext and emit_overlap_keys)
         self._jax = jax
         # sentinel-filled keys: untouched tail rows drop out in finalize
         self.buffers = (
@@ -632,6 +665,8 @@ class DeviceNodeCounter:
             jnp.zeros((read_cap, M), dtype=jnp.uint64),
             jnp.zeros((read_cap, M), dtype=jnp.int32),
         )
+        if with_ext:
+            self.buffers += (jnp.zeros((read_cap, M), dtype=jnp.int32),)
         self._finalize_cache: dict = {}
         self._finalize_chunk = jax.jit(functools.partial(
             _finalize_chunk, node_cap=self.window_cap,
@@ -681,7 +716,7 @@ class DeviceNodeCounter:
 
         @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
         def widen(buffers, new_cap):
-            b_lo, b_hi, b_occ, b_mh, b_mp = buffers
+            b_lo, b_hi, b_occ, b_mh, b_mp = buffers[:5]
             nlo = jnp.full((new_cap * self.W_slot,), ~jnp.uint64(0),
                            dtype=jnp.uint64)
             nlo = jax.lax.dynamic_update_slice(nlo, b_lo, (0,))
@@ -695,7 +730,11 @@ class DeviceNodeCounter:
             nh = jax.lax.dynamic_update_slice(nh, b_mh, (0, 0))
             np_ = jnp.zeros((new_cap, self.M), dtype=jnp.int32)
             np_ = jax.lax.dynamic_update_slice(np_, b_mp, (0, 0))
-            return (nlo, nhi, no, nh, np_)
+            out = (nlo, nhi, no, nh, np_)
+            if len(buffers) > 5:
+                ne = jnp.zeros((new_cap, self.M), dtype=jnp.int32)
+                out += (jax.lax.dynamic_update_slice(ne, buffers[5], (0, 0)),)
+            return out
 
         self.buffers = widen(self.buffers, new_cap)
         self.read_cap = new_cap
@@ -890,8 +929,9 @@ class DeviceNodeCounter:
             cap2 <<= 1
         padded = np.zeros(cap2, dtype=np.uint32)
         padded[:n] = occs
+        kw = dict(b_mpe=self.buffers[5]) if self.with_ext else {}
         vec, meta = self._gather(self.buffers[3], self.buffers[4],
-                                 jnp.asarray(padded))
+                                 jnp.asarray(padded), **kw)
         return np.asarray(vec)[:n], np.asarray(meta)[:n]
 
     def gather_crossing_keys(self, occs: np.ndarray):
@@ -938,6 +978,6 @@ class DeviceNodeCounter:
         if self._chunk_occs is not None:
             self._chunk_occs.delete()
             self._chunk_occs = None
-        b_lo, b_hi, b_occ, b_mh, b_mp = self.buffers
+        b_lo, b_hi = self.buffers[:2]
         self.buffers = (self._refill(b_lo), self._refill(b_hi),
-                        b_occ, b_mh, b_mp)
+                        *self.buffers[2:])

@@ -317,7 +317,8 @@ def assemble_multihost(reads_path: str, params: Params, prefix: str) -> dict:
     n_pass = g["n_pass"].reshape(-1)
     bases = g["id_base"].reshape(-1)
     cap = g["key_lo"].reshape(n, -1).shape[1]
-    metas = g["meta"].reshape(n, cap, 5)
+    mc = g["meta"].shape[-1]
+    metas = g["meta"].reshape(n, cap, mc)
     vecs = g["vec"].reshape(n, cap, params.k)
     counts = g["count"].reshape(n, cap)
     idx_all, cnt_all, meta_all, vec_all = [], [], [], []
@@ -347,12 +348,22 @@ def assemble_multihost(reads_path: str, params: Params, prefix: str) -> dict:
             abs_start = offsets[local_row] + start_a
             abs_end = abs_start + meta[mine, 0].astype(np.int64) \
                 + (params.l - 2)
+            rev8 = (meta[mine, 2] >> 31).astype(np.uint8)
+            sq0 = (meta[mine, 1] & 0x7FFFFFFF).astype(np.uint16)
+            sq1 = (meta[mine, 2] & 0x7FFFFFFF).astype(np.uint16)
+            if mc > 5:
+                # exact-cut corrections (extpack col, ops/extract)
+                from ..ops.extract import _unpack_ext
+
+                ext_delta, de1 = _unpack_ext(meta[mine, 5])
+                abs_end = abs_end + ext_delta
+                r = rev8.astype(bool)
+                sq0 = np.where(r, sq0 + de1, sq0).astype(np.uint16)
+                sq1 = np.where(r, sq1, sq1 + de1).astype(np.uint16)
             write_records_native(
                 f"{prefix}.h{pid}.sequences", params.k, params.l,
                 index[mine], vec[mine], blob, abs_start, abs_end,
-                (meta[mine, 2] >> 31).astype(np.uint8),
-                (meta[mine, 1] & 0x7FFFFFFF).astype(np.uint16),
-                (meta[mine, 2] & 0x7FFFFFFF).astype(np.uint16))
+                rev8, sq0, sq1)
 
     stats = dict(nb_reads=int(sum(1 for r in raw_reads if r)),
                  nb_windows=int(count.sum()), n_devices=n, n_hosts=nproc,

@@ -54,7 +54,13 @@ def make_sharded_pipeline(mesh, params, B, L, M, window_cap, node_cap,
         route_cap = max(64, (3 * B_local * W) // n)
     ek = dict(l=params.l, k=params.k, hash_bound=params.hash_bound, M=M,
               already_hpc=params.reads_already_hpc, compact_output=True,
-              use_pallas=(params.engine == "pallas"))
+              use_pallas=(params.engine == "pallas"),
+              ref_cuts=getattr(params, "seq_ref_cuts", False))
+    # meta columns routed with each window: extract's 4 (+extpack on raw
+    # inputs) + the global read row; row stays at column 4 (consumers index
+    # it there), extpack lands at column 5
+    mc = 5 if (params.reads_already_hpc
+               or getattr(params, "seq_ref_cuts", False)) else 6
     recv = n * route_cap  # windows landing per shard per round
 
     def _step(codes, lengths, b_lo, b_hi, b_meta, b_vecs, offset,
@@ -70,8 +76,9 @@ def make_sharded_pipeline(mesh, params, B, L, M, window_cap, node_cap,
             jax.lax.broadcasted_iota(jnp.uint32, (B_local, W), 0).reshape(-1)
             + read_base + (my * B_local).astype(jnp.uint32)
         )
+        m4 = out["meta"].reshape(-1, out["meta"].shape[-1])
         meta5 = jnp.concatenate(
-            [out["meta"].reshape(-1, 4), rows_g[:, None]], axis=1
+            [m4[:, :4], rows_g[:, None], m4[:, 4:]], axis=1
         )
 
         owner = (key_lo % np.uint64(n)).astype(jnp.int32)
@@ -90,7 +97,7 @@ def make_sharded_pipeline(mesh, params, B, L, M, window_cap, node_cap,
 
         bk_lo = scat(key_lo, np.uint64(0))
         bk_hi = scat(key_hi, np.uint64(0))
-        bmeta = scat(meta5, np.uint32(0), (5,))
+        bmeta = scat(meta5, np.uint32(0), (mc,))
         bvecs = scat(out["vecs"].reshape(-1, k), np.uint64(0), (k,))
 
         a2a = functools.partial(jax.lax.all_to_all, axis_name=AXIS,
@@ -146,7 +153,7 @@ def make_sharded_pipeline(mesh, params, B, L, M, window_cap, node_cap,
         return (
             jax.device_put(np.zeros(n * window_cap, dtype=np.uint64), sh1),
             jax.device_put(np.zeros(n * window_cap, dtype=np.uint64), sh1),
-            jax.device_put(np.zeros((n * window_cap, 5), dtype=np.uint32),
+            jax.device_put(np.zeros((n * window_cap, mc), dtype=np.uint32),
                            sh2),
             jax.device_put(np.zeros((n * window_cap, k), dtype=np.uint64),
                            sh2),
@@ -243,7 +250,9 @@ def assemble_sharded(reads_path: str, params, prefix: str,
     bases = np.asarray(res["id_base"]).reshape(-1)
     key_shape = np.asarray(res["key_lo"]).reshape(n, -1)
     counts = np.asarray(res["count"]).reshape(n, -1)
-    metas = np.asarray(res["meta"]).reshape(n, key_shape.shape[1], 5)
+    meta_all_arr = np.asarray(res["meta"])
+    mc = meta_all_arr.shape[-1]
+    metas = meta_all_arr.reshape(n, key_shape.shape[1], mc)
     vecs = np.asarray(res["vec"]).reshape(n, key_shape.shape[1], params.k)
     idx_all, cnt_all, meta_all, vec_all = [], [], [], []
     for s in range(n):
@@ -267,11 +276,21 @@ def assemble_sharded(reads_path: str, params, prefix: str,
         read_g = meta[:, 4].astype(np.int64)
         abs_start = offsets[read_g] + start_a
         abs_end = abs_start + meta[:, 0].astype(np.int64) + (params.l - 2)
+        rev8 = (meta[:, 2] >> 31).astype(np.uint8)
+        sq0 = (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16)
+        sq1 = (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16)
+        if mc > 5:
+            # exact-cut corrections (extpack col 5, ops/extract compact meta)
+            from ..ops.extract import _unpack_ext
+
+            ext_delta, de1 = _unpack_ext(meta[:, 5])
+            abs_end = abs_end + ext_delta
+            r = rev8.astype(bool)
+            sq0 = np.where(r, sq0 + de1, sq0).astype(np.uint16)
+            sq1 = np.where(r, sq1, sq1 + de1).astype(np.uint16)
         write_records_native_sharded(
             prefix, params.k, params.l, index, vec, blob, abs_start, abs_end,
-            (meta[:, 2] >> 31).astype(np.uint8),
-            (meta[:, 1] & 0x7FFFFFFF).astype(np.uint16),
-            (meta[:, 2] & 0x7FFFFFFF).astype(np.uint16),
+            rev8, sq0, sq1,
             n_shards=params.threads,
         )
     nodes = dict(

@@ -45,6 +45,13 @@ class Params:
     reads_already_hpc: bool = False
     no_basespace: bool = False
     debug: bool = False
+    # write .sequences spans/shifts with the reference's raw-position + l
+    # cut semantics (main.rs:769-778) instead of the default full-HPC-extent
+    # exact cuts (ops/hpc.extent_ends_np).  The two are identical whenever
+    # reads_already_hpc (every published reference protocol); on raw inputs
+    # the default makes to_basespace junctions exact where the reference's
+    # are a few bases off.  Used by the transliteration-oracle parity tests.
+    seq_ref_cuts: bool = False
 
     # execution (not in the reference Params; TPU-framework additions)
     threads: int = 8

@@ -71,23 +71,32 @@ def rust_hash_bound(density: float) -> int:
 
 
 def extract_density(seq: str, l: int, density: float, already_hpc: bool):
-    """read.rs:176-211 -> (minimizers_pos in RAW coordinates, transformed)."""
+    """read.rs:176-211 -> (minimizers_pos in RAW coordinates, transformed,
+    extent ends).
+
+    The third list is NOT in the reference: per selected l-mer, the raw end
+    of its full HPC extent (raw start of the HPC base l after the l-mer's
+    HPC start, or the raw read length) — the oracle's independent derivation
+    of the exact-cut record spans (rust_mdbg_tpu/ops/hpc.extent_ends_np)."""
     if already_hpc:
         inp = seq
         pos_vec = None
     else:
         inp, pos_vec = encode_rle(seq)
     if len(inp) < l:
-        return [], []
+        return [], [], []
     codes = BASE_CODE[np.frombuffer(inp.encode(), dtype=np.uint8)]
     h = nthash_canonical_np(codes, l)
     bound = rust_hash_bound(density)
     sel = np.nonzero(h <= np.uint64(bound))[0]
     if already_hpc:
         mpos = [int(i) for i in sel]
+        mend = [int(i) + l for i in sel]
     else:
         mpos = [pos_vec[int(i)] for i in sel]
-    return mpos, [int(x) for x in h[sel]]
+        mend = [pos_vec[int(i) + l] if int(i) + l < len(pos_vec)
+                else len(seq) for i in sel]
+    return mpos, [int(x) for x in h[sel]], mend
 
 
 def normalize(vec: tuple) -> tuple[tuple, bool]:
@@ -168,23 +177,33 @@ class OracleTable:
 def oracle_assemble(reads: list[str], *, k: int, l: int, density: float,
                     min_abundance: int = 2, use_bf: bool = False,
                     reference: bool = False, already_hpc: bool = False,
-                    bloom_log2_bits: int = 24) -> OracleTable:
+                    bloom_log2_bits: int = 24,
+                    exact_cuts: bool = False) -> OracleTable:
     """The reference's per-read worker loop (main.rs:756-781) over `reads`,
-    in order, feeding the oracle table."""
+    in order, feeding the oracle table.
+
+    exact_cuts=False is the literal reference: record span ends at
+    mpos[i+k-1] + l and the recorded shift pair is the raw START-distance
+    pair (main.rs:769-778).  exact_cuts=True models the framework's default
+    .sequences semantics: the span runs to the last l-mer's full HPC extent
+    and the right-cut distance uses extent ENDS — derived here independently
+    from the oracle's own encode_rle position list, so a framework bug in
+    the extent computation cannot hide.  Node-table shift/seqlen (GFA
+    semantics) stay the reference's in both modes."""
     table = OracleTable(min_abundance, use_bf, reference, bloom_log2_bits)
     for seq in reads:
-        mpos, transformed = extract_density(seq, l, density, already_hpc)
+        mpos, transformed, mend = extract_density(seq, l, density,
+                                                  already_hpc)
         if len(transformed) <= k:   # strictly-greater quirk, main.rs:757
             continue
         for i in range(len(transformed) - k + 1):
             node, rev = normalize(tuple(transformed[i : i + k]))
-            if rev:
-                shift = (mpos[i + k - 1] - mpos[i + k - 2],
-                         mpos[i + 1] - mpos[i])
-            else:
-                shift = (mpos[i + 1] - mpos[i],
-                         mpos[i + k - 1] - mpos[i + k - 2])
-            read_offsets = (mpos[i], mpos[i + k - 1] + l,
+            d_first = mpos[i + 1] - mpos[i]
+            d_last = (mend[i + k - 1] - mend[i + k - 2] if exact_cuts
+                      else mpos[i + k - 1] - mpos[i + k - 2])
+            shift = (d_last, d_first) if rev else (d_first, d_last)
+            end = mend[i + k - 1] if exact_cuts else mpos[i + k - 1] + l
+            read_offsets = (mpos[i], end,
                             mpos[i + k - 1] + 1 - mpos[i] + 1)
             table.add(node, rev, shift, seq, read_offsets)
     return table

@@ -85,11 +85,17 @@ def oracle_content(table):
 
 
 CONFIGS = [
-    dict(min_abundance=1, use_bf=False, already_hpc=False),
-    dict(min_abundance=2, use_bf=False, already_hpc=False),
-    dict(min_abundance=2, use_bf=True, already_hpc=False),
-    dict(min_abundance=3, use_bf=False, already_hpc=True),
-    dict(min_abundance=3, use_bf=True, already_hpc=False),
+    # exact=True fuzzes the DEFAULT .sequences semantics (full-HPC-extent
+    # spans, ops/hpc.extent_ends_np) against the oracle's independent
+    # derivation; exact=False pins seq_ref_cuts byte-parity with the literal
+    # reference transliteration.  Both are identical when already_hpc.
+    dict(min_abundance=1, use_bf=False, already_hpc=False, exact=True),
+    dict(min_abundance=1, use_bf=False, already_hpc=False, exact=False),
+    dict(min_abundance=2, use_bf=False, already_hpc=False, exact=True),
+    dict(min_abundance=2, use_bf=True, already_hpc=False, exact=False),
+    dict(min_abundance=2, use_bf=True, already_hpc=False, exact=True),
+    dict(min_abundance=3, use_bf=False, already_hpc=True, exact=True),
+    dict(min_abundance=3, use_bf=True, already_hpc=False, exact=True),
 ]
 
 
@@ -97,6 +103,7 @@ CONFIGS = [
                          ids=[f"m{c['min_abundance']}"
                               f"{'bf' if c['use_bf'] else ''}"
                               f"{'hpc' if c['already_hpc'] else ''}"
+                              f"{'' if c['exact'] else 'ref'}"
                               for c in CONFIGS])
 def test_fuzz_host_vs_oracle(tmp_path, cfg):
     rng = np.random.default_rng(11 + cfg["min_abundance"]
@@ -106,11 +113,16 @@ def test_fuzz_host_vs_oracle(tmp_path, cfg):
     write_fasta(path, reads)
     k, l, d = 4, 10, 0.02
     table = oracle_assemble(reads, k=k, l=l, density=d,
-                            bloom_log2_bits=24, **cfg)
+                            bloom_log2_bits=24,
+                            min_abundance=cfg["min_abundance"],
+                            use_bf=cfg["use_bf"],
+                            already_hpc=cfg["already_hpc"],
+                            exact_cuts=cfg["exact"])
     p = Params(k=k, l=l, density=d, engine="host",
                min_kmer_abundance=cfg["min_abundance"],
                use_bf=cfg["use_bf"], bloom_log2_bits=24,
-               reads_already_hpc=cfg["already_hpc"])
+               reads_already_hpc=cfg["already_hpc"],
+               seq_ref_cuts=not cfg["exact"])
     prefix = str(tmp_path / "out")
     assemble(path, p, prefix)
     want = oracle_content(table)
@@ -118,18 +130,21 @@ def test_fuzz_host_vs_oracle(tmp_path, cfg):
     assert node_content(prefix, p) == want
 
 
-@pytest.mark.parametrize("engine,chunk", [("device", 0), ("device", 512)])
-def test_fuzz_device_vs_oracle(tmp_path, engine, chunk):
+@pytest.mark.parametrize("engine,chunk,exact",
+                         [("device", 0, True), ("device", 0, False),
+                          ("device", 512, True), ("device", 512, False)])
+def test_fuzz_device_vs_oracle(tmp_path, engine, chunk, exact):
     """Same fuzz through the device sort/segment counter and the chunked
-    host-merge driver (forced multi-chunk)."""
+    host-merge driver (forced multi-chunk), in both cut modes."""
     rng = np.random.default_rng(99)
     reads = synth_reads(rng, 2000, genome_bp=12000, read_len=(8, 300))
     path = str(tmp_path / "r.fa")
     write_fasta(path, reads)
     k, l, d = 4, 10, 0.02
-    table = oracle_assemble(reads, k=k, l=l, density=d, min_abundance=2)
+    table = oracle_assemble(reads, k=k, l=l, density=d, min_abundance=2,
+                            exact_cuts=exact)
     p = Params(k=k, l=l, density=d, engine=engine, min_kmer_abundance=2,
-               chunk_reads=chunk, batch_reads=256)
+               chunk_reads=chunk, batch_reads=256, seq_ref_cuts=not exact)
     prefix = str(tmp_path / "out")
     assemble(path, p, prefix)
     assert node_content(prefix, p) == oracle_content(table)
@@ -144,7 +159,8 @@ def test_fuzz_100k_reads(tmp_path):
     path = str(tmp_path / "big.fa")
     write_fasta(path, reads)
     k, l, d = 3, 9, 0.015
-    table = oracle_assemble(reads, k=k, l=l, density=d, min_abundance=2)
+    table = oracle_assemble(reads, k=k, l=l, density=d, min_abundance=2,
+                            exact_cuts=True)
     p = Params(k=k, l=l, density=d, engine="host", min_kmer_abundance=2)
     prefix = str(tmp_path / "out")
     assemble(path, p, prefix)

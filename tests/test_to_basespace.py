@@ -41,10 +41,12 @@ def test_single_contig_covers_region(simplified):
     assert 90000 < len(contigs[0]) < 105000
 
 
-def test_contig_is_near_exact(simplified):
-    """Sliding 500bp windows of the contig must appear verbatim in some read
-    for the overwhelming majority of positions (junction artifacts are rare,
-    bounded-size, and inherent to the reference's cut rule)."""
+def test_contig_is_exact(simplified):
+    """EVERY sliding 500bp window of the contig appears verbatim in some
+    read: the default full-HPC-extent record spans (ops/hpc.extent_ends_np)
+    make the to_basespace cut rule exact on raw inputs, where the
+    reference's pos+l spans leave junctions a few bases off whenever a
+    boundary l-mer crosses a homopolymer run (round-4 verdict item #2)."""
     prefix, fa = simplified
     contig = "".join(
         l.strip() for l in open(fa) if not l.startswith(">")
@@ -54,11 +56,11 @@ def test_contig_is_near_exact(simplified):
     blob = " ".join(reads) + " " + " ".join(revcomp(r) for r in reads)
     hits = 0
     total = 0
-    for i in range(0, len(contig) - 500, 997):
+    for i in range(0, len(contig) - 500, 499):
         total += 1
         if contig[i : i + 500] in blob:
             hits += 1
-    assert hits / total > 0.80, f"only {hits}/{total} windows exact"
+    assert hits == total, f"only {hits}/{total} windows exact"
 
 
 def test_msimpl_gfa_has_sequences(simplified):
@@ -71,9 +73,10 @@ def test_msimpl_gfa_has_sequences(simplified):
             break
 
 
-def test_exact_junctions_improve_reconstruction(simplified, tmp_path):
-    """--exact-junctions: every 500bp window of the contig appears verbatim
-    in the error-free reads (vs ~>80% for the reference's shift cuts)."""
+def test_exact_junctions_mode_is_invariant(simplified, tmp_path):
+    """--exact-junctions (anchor-matching cross-check) must now be a no-op:
+    the default shift-cut path is itself exact, so the two modes produce the
+    identical contig (round-4 verdict item #2 'Done' criterion)."""
     import shutil
 
     from rust_mdbg_tpu.tools.gfa import Gfa
@@ -107,3 +110,8 @@ def test_exact_junctions_improve_reconstruction(simplified, tmp_path):
         if contig[i : i + 500] in blob:
             hits += 1
     assert hits == total, f"{hits}/{total} exact windows"
+    # invariance: the default (shift-cut) contig equals the anchor-refined
+    # one — the refinement has nothing left to refine
+    default_contig = "".join(
+        l.strip() for l in open(simplified[1]) if not l.startswith(">"))
+    assert contig in (default_contig, revcomp(default_contig))
