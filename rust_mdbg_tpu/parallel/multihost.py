@@ -310,13 +310,86 @@ def assemble_multihost(reads_path: str, params: Params, prefix: str) -> dict:
         if int(dv) or int(ov):
             raise RuntimeError("route/extraction overflow in multihost run")
 
-    # global node table on every host (compact: node_cap rows per shard)
+    # small per-shard scalars everywhere (8 B x n); the node TABLE is never
+    # allgathered — .sequences payloads route to their read-owner host and
+    # the edge phase runs as the distributed join (round-4 verdict item #1)
+    n_pass = np.asarray(multihost_utils.process_allgather(
+        res["n_pass"], tiled=True)).reshape(-1)
+    bases = np.asarray(multihost_utils.process_allgather(
+        res["id_base"], tiled=True)).reshape(-1)
+    total_nodes = int(n_pass.sum())
+    cap = res["key_lo"].shape[0] // n
+    max_np = int(n_pass.max()) if len(n_pass) else 0
+    d_local_ = jax.local_device_count()
+
+    use_dist = os.environ.get("MDBG_SHARDED_EDGES", "1") != "0"
+    nb_windows_local = 0
+
+    if use_dist and total_nodes:
+        from .edges import make_record_router
+
+        # --- .sequences: one all_to_all routes each node's payload to the
+        # host that loaded its crossing read ----------------------------
+        if not params.no_basespace:
+            mc = res["meta"].shape[-1]
+            rcap_r = 64
+            while rcap_r < max(64, (4 * max(1, max_np)) // max(1, nproc)):
+                rcap_r *= 2
+            router = make_record_router(mesh, params.k, cap, mc, rcap_r,
+                                        B, B_host, d_local_)
+            r_gid, r_meta, r_vec, r_drop = router(
+                res["vec"], res["meta"], res["n_pass"], res["id_base"])
+            if int(np.asarray(r_drop).reshape(-1)[0]):
+                raise RuntimeError("record-router bucket overflow; rerun "
+                                   "with MDBG_SHARDED_EDGES=0")
+            offsets = np.zeros(len(raw_reads) + 1, dtype=np.int64)
+            np.cumsum([len(r) for r in raw_reads], out=offsets[1:])
+            blob = np.frombuffer(b"".join(raw_reads), dtype=np.uint8)
+            for j, (sg, sm, sv) in enumerate(zip(
+                    r_gid.addressable_shards, r_meta.addressable_shards,
+                    r_vec.addressable_shards)):
+                gid_h = np.asarray(sg.data)
+                keep = gid_h != np.uint32(0xFFFFFFFF)
+                if not keep.any():
+                    continue
+                meta_h = np.asarray(sm.data)[keep]
+                vec_h = np.asarray(sv.data)[keep]
+                gid_h = gid_h[keep]
+                rows = meta_h[:, 4].astype(np.int64)
+                local_row = (rows // B) * B_host + (rows % B_host)
+                abs_start = offsets[local_row] + meta_h[:, 3].astype(np.int64)
+                abs_end = abs_start + meta_h[:, 0].astype(np.int64) \
+                    + (params.l - 2)
+                rev8 = (meta_h[:, 2] >> 31).astype(np.uint8)
+                sq0 = (meta_h[:, 1] & 0x7FFFFFFF).astype(np.uint16)
+                sq1 = (meta_h[:, 2] & 0x7FFFFFFF).astype(np.uint16)
+                if meta_h.shape[1] > 5:
+                    from ..ops.extract import _unpack_ext
+
+                    ext_delta, de1 = _unpack_ext(meta_h[:, 5])
+                    abs_end = abs_end + ext_delta
+                    rb = rev8.astype(bool)
+                    sq0 = np.where(rb, sq0 + de1, sq0).astype(np.uint16)
+                    sq1 = np.where(rb, sq1, sq1 + de1).astype(np.uint16)
+                write_records_native(
+                    f"{prefix}.h{pid}x{j}.sequences", params.k, params.l,
+                    gid_h, vec_h, blob, abs_start, abs_end, rev8, sq0, sq1)
+
+        # --- GFA: distributed join, per-shard part emission -------------
+        nb_windows_local = _multihost_gfa(
+            mesh, params, prefix, res, n_pass, bases, cap, pid, nproc,
+            d_local_, multihost_utils)
+        stats = dict(nb_reads=int(sum(1 for r in raw_reads if r)),
+                     n_devices=n, n_hosts=nproc, rounds=rounds,
+                     distributed_edges=True)
+        stats.update(nb_windows_local)
+        multihost_utils.sync_global_devices("mdbg:done")
+        return stats
+
+    # fallback: gathered single-host table (MDBG_SHARDED_EDGES=0)
     g = {key: np.asarray(multihost_utils.process_allgather(res[key],
                                                            tiled=True))
-         for key in ("key_lo", "count", "meta", "vec", "n_pass", "id_base")}
-    n_pass = g["n_pass"].reshape(-1)
-    bases = g["id_base"].reshape(-1)
-    cap = g["key_lo"].reshape(n, -1).shape[1]
+         for key in ("key_lo", "count", "meta", "vec")}
     mc = g["meta"].shape[-1]
     metas = g["meta"].reshape(n, cap, mc)
     vecs = g["vec"].reshape(n, cap, params.k)
@@ -378,4 +451,128 @@ def assemble_multihost(reads_path: str, params: Params, prefix: str) -> dict:
         stats.update(build_gfa(f"{prefix}.gfa", nodes, vec,
                                presimp=params.presimp))
     multihost_utils.sync_global_devices("mdbg:done")
+    return stats
+
+
+def _multihost_gfa(mesh, params, prefix, res, n_pass, bases, cap, pid,
+                   nproc, d_local, multihost_utils) -> dict:
+    """Distributed edge phase across processes: every process runs the
+    collective join, then finishes ONLY its addressable shards — presimp
+    locally, removed pairs exchanged (tiny), S/L part files per shard, and
+    process 0 concatenates parts in shard (= global id) order.
+
+    Part files compose on a shared filesystem (or single box); without one
+    they remain as `prefix.gfapart.*` per host — the same composition
+    contract as the per-host .sequences shards."""
+    import jax
+
+    from .edges import (emit_l_lines, make_sharded_edge_join, presimp_pass)
+
+    n = mesh.devices.size
+    max_np = int(n_pass.max()) if len(n_pass) else 0
+    rcap = 64
+    while rcap < max(64, (8 * max(1, max_np)) // n):
+        rcap *= 2
+    pot_cap = 1024
+    while pot_cap < max(1024, 8 * max(1, max_np)):
+        pot_cap *= 2
+    pot_cap = ((pot_cap + n - 1) // n) * n
+    join = make_sharded_edge_join(mesh, params.k, cap, rcap, pot_cap)
+    seqlen_dev = jax.jit(lambda m: m[:, 0])(res["meta"])
+    out = join(res["vec"], res["count"], seqlen_dev, res["n_pass"],
+               res["id_base"], jax.device_put(bases.astype(np.uint32)))
+    so, sr, sj, sc, sab, slen, n_pot, overflow = out
+    overflow = np.asarray(
+        multihost_utils.process_allgather(overflow, tiled=False))
+    if overflow.any():
+        raise RuntimeError(
+            f"multihost edge join overflow {overflow.tolist()}; rerun with "
+            "MDBG_SHARDED_EDGES=0")
+
+    # local shards of this process, in global shard order
+    def local(arr):
+        return sorted(
+            ((sh.index[0].start or 0, np.asarray(sh.data))
+             for sh in arr.addressable_shards), key=lambda t: t[0])
+
+    pot_local = {name: local(a) for name, a in zip(
+        ("so", "sr", "sj", "sc", "sab", "slen"),
+        (so, sr, sj, sc, sab, slen))}
+    npot_local = local(n_pot)
+    cnt_local = local(res["count"])
+    sl_local = local(seqlen_dev)
+    meta_local = local(res["meta"])
+    shard_of = {off // pot_cap: i for i, (off, _) in
+                enumerate(pot_local["so"])}
+    my_shards = sorted(shard_of)
+
+    # pass 1: presimp per local shard -> global removed union
+    removed_parts = []
+    keeps = {}
+    nb_windows = 0
+    for s in my_shards:
+        i = shard_of[s]
+        m = int(npot_local[i][1][0])
+        ords = pot_local["so"][i][1][:m]
+        rem, keep = presimp_pass(
+            ords, pot_local["sj"][i][1][:m], pot_local["sab"][i][1][:m],
+            cnt_local[i][1], int(bases[s]), params.presimp)
+        removed_parts.append(rem)
+        keeps[s] = keep
+        nb_windows += int(cnt_local[i][1][: int(n_pass[s])].sum())
+    mine = (np.concatenate(removed_parts) if removed_parts
+            else np.zeros(0, np.uint64))
+    cnt = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(mine)], dtype=np.int64), tiled=True)).reshape(-1)
+    pad = np.zeros(int(cnt.max()) if len(cnt) else 0, dtype=np.uint64)
+    pad[: len(mine)] = mine
+    allr = np.asarray(multihost_utils.process_allgather(
+        pad, tiled=False)).reshape(nproc, -1)
+    removed_union = np.unique(np.concatenate(
+        [allr[p, : int(cnt[p])] for p in range(nproc)])) \
+        if allr.size else np.zeros(0, np.uint64)
+
+    # pass 2: per-shard part files
+    nb_edges = 0
+    for s in my_shards:
+        i = shard_of[s]
+        m_nodes = int(n_pass[s])
+        base = int(bases[s])
+        ab = cnt_local[i][1]
+        sl = sl_local[i][1]
+        with open(f"{prefix}.gfapart.s{s:04d}", "w") as f:
+            f.write("".join(
+                f"S\t{base + r}\t*\tLN:i:{int(sl[r])}\tKC:i:{int(ab[r])}\n"
+                for r in range(m_nodes)))
+        m = int(npot_local[i][1][0])
+        meta_h = meta_local[i][1]
+        with open(f"{prefix}.gfapart.l{s:04d}", "w") as f:
+            nb_edges += emit_l_lines(
+                f, pot_local["so"][i][1][:m], pot_local["sj"][i][1][:m],
+                pot_local["sc"][i][1][:m], pot_local["slen"][i][1][:m],
+                keeps[s], removed_union, sl,
+                (meta_h[:, 1] & 0x7FFFFFFF).astype(np.uint16),
+                (meta_h[:, 2] & 0x7FFFFFFF).astype(np.uint16), base)
+    multihost_utils.sync_global_devices("mdbg:gfaparts")
+    tot = np.asarray(multihost_utils.process_allgather(
+        np.asarray([nb_windows, nb_edges], dtype=np.int64),
+        tiled=True)).reshape(nproc, 2).sum(axis=0)
+    stats = dict(nb_windows=int(tot[0]), nb_edges=int(tot[1]),
+                 nb_nodes=int(n_pass.sum()))
+    if pid == 0:
+        import glob as _glob
+        import shutil
+
+        s_parts = sorted(_glob.glob(f"{prefix}.gfapart.s*"))
+        l_parts = sorted(_glob.glob(f"{prefix}.gfapart.l*"))
+        if len(s_parts) == n and len(l_parts) == n:
+            with open(f"{prefix}.gfa", "w", buffering=1 << 20) as out_f:
+                out_f.write("H\tVN:Z:1.0\n")
+                for p in s_parts + l_parts:
+                    with open(p) as f:
+                        shutil.copyfileobj(f, out_f)
+                    os.remove(p)
+        else:
+            print(f"[multihost] GFA parts left as {prefix}.gfapart.* "
+                  "(no shared filesystem); concatenate H + s* + l*")
     return stats

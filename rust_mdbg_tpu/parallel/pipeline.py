@@ -25,6 +25,7 @@ all_to_all rides ICI.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -293,12 +294,109 @@ def assemble_sharded(reads_path: str, params, prefix: str,
             rev8, sq0, sq1,
             n_shards=params.threads,
         )
-    nodes = dict(
-        index=index, abundance=count,
-        seqlen=meta[:, 0].astype(np.uint32),
-        shift0=(meta[:, 1] & 0x7FFFFFFF).astype(np.uint16),
-        shift1=(meta[:, 2] & 0x7FFFFFFF).astype(np.uint16),
-    )
-    stats.update(build_gfa(f"{prefix}.gfa", nodes, vec,
-                           presimp=params.presimp))
+    g = None
+    if os.environ.get("MDBG_SHARDED_EDGES", "1") != "0":
+        g = _distributed_gfa(mesh, params, prefix, res, n_pass, bases,
+                             key_shape.shape[1])
+    if g is None:
+        # fallback: single-host km_index join over the gathered table
+        nodes = dict(
+            index=index, abundance=count,
+            seqlen=meta[:, 0].astype(np.uint32),
+            shift0=(meta[:, 1] & 0x7FFFFFFF).astype(np.uint16),
+            shift1=(meta[:, 2] & 0x7FFFFFFF).astype(np.uint16),
+        )
+        g = build_gfa(f"{prefix}.gfa", nodes, vec, presimp=params.presimp)
+    stats.update(g)
     return stats
+
+
+def _distributed_gfa(mesh, params, prefix, res, n_pass, bases, cap,
+                     out_path: str | None = None) -> dict | None:
+    """Distributed edge construction + GFA emission (parallel/edges.py):
+    two all_to_all rounds replace the single-host km_index join — no shard
+    ever holds another shard's node table.  Returns None on capacity
+    overflow (caller falls back to the gathered join).
+
+    Byte-identical to the single-chip writer: S lines per shard in global id
+    order, L lines per probe-owner shard in the host join's exact emission
+    order, symmetric presimp drops exchanged globally
+    (main.rs:1006-1117 semantics)."""
+    import jax
+
+    from .edges import emit_l_lines, make_sharded_edge_join, presimp_pass
+
+    n = mesh.devices.size
+    total = int(n_pass.sum())
+    max_np = int(n_pass.max()) if len(n_pass) else 0
+    rcap = 64
+    while rcap < max(64, (8 * max(1, max_np)) // n):
+        rcap *= 2
+    pot_cap = 1024
+    while pot_cap < max(1024, 8 * max(1, max_np)):
+        pot_cap *= 2
+    pot_cap = ((pot_cap + n - 1) // n) * n
+    join = make_sharded_edge_join(mesh, params.k, cap, rcap, pot_cap)
+    seqlen_dev = jax.jit(lambda m: m[:, 0])(res["meta"])
+    out = join(res["vec"], res["count"], seqlen_dev, res["n_pass"],
+               res["id_base"], jax.device_put(bases.astype(np.uint32)))
+    so, sr, sj, sc, sab, slen, n_pot, overflow = out
+    overflow = np.asarray(overflow)
+    if overflow.any():
+        import warnings
+
+        warnings.warn(
+            f"sharded edge join overflow {overflow.tolist()}; falling back "
+            "to the single-host join")
+        return None
+
+    so = np.asarray(so).reshape(n, -1)
+    sr = np.asarray(sr).reshape(n, -1)
+    sj = np.asarray(sj).reshape(n, -1)
+    sc = np.asarray(sc).reshape(n, -1)
+    sab = np.asarray(sab).reshape(n, -1)
+    slen_h = np.asarray(slen).reshape(n, -1)
+    n_pot = np.asarray(n_pot).reshape(-1)
+    counts = np.asarray(res["count"]).reshape(n, -1)
+    metas_seqlen = np.asarray(seqlen_dev).reshape(n, -1)
+    meta_h = np.asarray(res["meta"])
+    mc = meta_h.shape[-1]
+    metas = meta_h.reshape(n, -1, mc)
+
+    # pass 1: per-shard presimp -> global removed union
+    removed_parts = []
+    keeps = []
+    for s in range(n):
+        m = int(n_pot[s])
+        rem, keep = presimp_pass(so[s, :m], sj[s, :m], sab[s, :m],
+                                 counts[s], int(bases[s]), params.presimp)
+        removed_parts.append(rem)
+        keeps.append(keep)
+    removed_union = (np.unique(np.concatenate(removed_parts))
+                     if removed_parts else np.zeros(0, np.uint64))
+
+    # pass 2: per-shard S + L emission, concatenated in shard (= id) order
+    nb_edges = 0
+    path = out_path or f"{prefix}.gfa"
+    with open(path, "w", buffering=1 << 20) as f:
+        f.write("H\tVN:Z:1.0\n")
+        for s in range(n):
+            m_nodes = int(n_pass[s])
+            base = int(bases[s])
+            ab = counts[s]
+            sl = metas_seqlen[s]
+            f.write("".join(
+                f"S\t{base + i}\t*\tLN:i:{int(sl[i])}\tKC:i:{int(ab[i])}\n"
+                for i in range(m_nodes)))
+        for s in range(n):
+            m = int(n_pot[s])
+            nb_edges += emit_l_lines(
+                f, so[s, :m], sj[s, :m], sc[s, :m], slen_h[s, :m],
+                keeps[s], removed_union,
+                metas_seqlen[s],
+                (metas[s, :, 1] & 0x7FFFFFFF).astype(np.uint16),
+                (metas[s, :, 2] & 0x7FFFFFFF).astype(np.uint16),
+                int(bases[s]))
+    n_removed = sum(int((~k).sum()) for k in keeps)
+    return dict(nb_nodes=total, nb_edges=nb_edges,
+                presimp_removed=n_removed, distributed_edges=True)

@@ -100,3 +100,55 @@ def test_uneven_shards_match_host(tmp_path):
     assert stats["nb_nodes"] == host["nb_nodes"] > 0
     assert stats["nb_edges"] == host["nb_edges"]
     assert _node_map(str(tmp_path / "s")) == _node_map(str(tmp_path / "h"))
+
+
+def _synth_err(tmp_path, n_reads, rl, seed, err=0.01, genome_bp=9000):
+    """Errored overlapping reads, both strands: singleton-heavy node tables
+    with multi-candidate key groups (presimp exercise)."""
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACTG", dtype=np.uint8)
+    genome = bases[rng.integers(0, 4, genome_bp)]
+    comp = {65: 84, 67: 71, 71: 67, 84: 65}
+    path = tmp_path / "err.fa"
+    with open(path, "wb") as f:
+        for i in range(n_reads):
+            s = int(rng.integers(0, genome_bp - rl))
+            r = genome[s : s + rl].copy()
+            e = rng.random(rl) < err
+            r[e] = bases[rng.integers(0, 4, int(e.sum()))]
+            if rng.random() < 0.5:
+                r = np.array([comp[c] for c in r[::-1]], dtype=np.uint8)
+            f.write(b">e%d\n" % i)
+            f.write(r.tobytes())
+            f.write(b"\n")
+    return str(path)
+
+
+@pytest.mark.parametrize("n_devices,presimp", [(4, 0.01), (8, 0.6)])
+def test_distributed_edges_byte_identical(tmp_path, monkeypatch, n_devices,
+                                          presimp):
+    """The distributed edge join (parallel/edges.py: key-owner all_to_all
+    join + probe-owner all_to_all emission + removed-pair exchange) must
+    write a BYTE-identical GFA to the gathered single-host km_index join on
+    the same mesh run — including presimp removals and the deferred
+    symmetric drop (presimp=0.6 forces removals on an errored corpus)."""
+    from rust_mdbg_tpu.parallel.pipeline import assemble_sharded
+
+    reads = _synth_err(tmp_path, n_reads=220, rl=700, seed=3)
+    p = Params(k=5, l=8, density=0.05, min_kmer_abundance=2,
+               engine="device", batch_reads=8, presimp=presimp)
+    s_dist = assemble_sharded(reads, p, str(tmp_path / "d"),
+                              n_devices=n_devices)
+    assert s_dist.get("distributed_edges"), "distributed join did not run"
+    monkeypatch.setenv("MDBG_SHARDED_EDGES", "0")
+    s_host = assemble_sharded(reads, p, str(tmp_path / "g"),
+                              n_devices=n_devices)
+    assert open(tmp_path / "d.gfa").read() == open(tmp_path / "g.gfa").read()
+    assert s_dist["nb_edges"] == s_host["nb_edges"]
+    if presimp >= 0.5:
+        assert s_dist["presimp_removed"] > 0, "presimp rule never fired"
+    # and node-level equality with the host engine (id-relabel invariant)
+    host = assemble(reads, p.replace(engine="host"), str(tmp_path / "h"))
+    assert s_dist["nb_nodes"] == host["nb_nodes"] > 0
+    assert s_dist["nb_edges"] == host["nb_edges"]
+    assert _node_map(str(tmp_path / "d")) == _node_map(str(tmp_path / "h"))
