@@ -145,11 +145,15 @@ def assemble_device_chunked(reads_path: str, params: Params, prefix: str,
     # on length-uniform HiFi data that halves the H2D wire bytes (the
     # dominant cost through this environment's relay, and its RSS retention)
     L_half = L // 2 if (L // 2) % 512 == 0 and L // 2 >= 1024 else 0
+    # bf=False: --bf semantics live in the host merge here (nt_merge_chunk
+    # tracks the Bloom across chunks); the construct must not screen twice
     _constructs = {L: make_fused_construct(params, B, L, M, n_batches,
-                                           packed=packed, w_slot=W_slot)}
+                                           packed=packed, w_slot=W_slot,
+                                           bf=False)}
     if L_half:
         _constructs[L_half] = make_fused_construct(
-            params, B, L_half, M, n_batches, packed=packed, w_slot=W_slot)
+            params, B, L_half, M, n_batches, packed=packed, w_slot=W_slot,
+            bf=False)
 
     # surface XLA compile cost as its own phase (the persistent compilation
     # cache set by the CLI makes later runs hit disk instead): drive the

@@ -285,6 +285,19 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
     from ..ops.sort_count import window_slot_capacity
 
     W_slot = window_slot_capacity(params, B, L, M)
+    # device --bf (the reference's headline protocol): the Bloom screen
+    # drops first sightings before the counter, so the per-batch slot — and
+    # with it every finalize sort — can shrink by the expected surviving
+    # fraction.  The survivor rate is input-dependent (error rate x
+    # coverage), so the shrink is opt-in via MDBG_BF_SLOT_FRAC; slot
+    # overflow is detected (n_over) and aborts rather than truncating.
+    from ..ops.sort_count import counter_flags
+
+    flags = counter_flags(params)
+    bf_on = flags["use_bf"]
+    if bf_on:
+        frac = float(_os.environ.get("MDBG_BF_SLOT_FRAC", "1.0"))
+        W_slot = max(8, (int(W_slot * frac) + 7) & ~7)
     # beyond the whole-run HBM budget, switch to bounded-memory chunked
     # counting (exact for any minabund <= MAX_CHUNK_SLOTS; core/chunked.py)
     per_read = 20 * W_slot + 12 * M
@@ -303,8 +316,7 @@ def assemble_device_table(reads_path: str, params: Params, prefix: str,
         k=params.k, M=M, read_cap=read_cap, node_cap=1 << 22,
         minab=params.min_kmer_abundance, w_slot=W_slot,
         emit_overlap_keys=minimizer_recompute_ok(params),
-        mpos_u16=L <= 65535,
-        with_ext=not (params.reads_already_hpc or params.seq_ref_cuts),
+        mpos_u16=L <= 65535, **flags,
     )
     packed = L % 8 == 0  # 2-bit+mask H2D feed (ops/pack)
     construct = make_fused_construct(params, B, L, M, CHUNK_BATCHES,

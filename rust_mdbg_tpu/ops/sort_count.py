@@ -106,6 +106,79 @@ def _finalize(b_lo, b_hi, b_meta, b_vecs, *, minab, node_cap, keep_all):
     return out
 
 
+def _bloom_pass(key_lo, key_hi, valid, bits):
+    """Sequential-parity --bf screen over one batch's window keys.
+
+    Device twin of the native table's single-hash Bloom
+    (native/mdbg_core.cpp nt_add: bit = (lo ^ (hi * 0x9E3779B97F4A7C15))
+    & mask, mirroring the reference's RacyBloom role, main.rs:639-655): a
+    window KEEPS iff its bit was set by an earlier batch OR an earlier
+    window of this batch (stream order); every valid window sets its bit.
+    Same bit indices as the host filter -> identical false-positive
+    pattern, so device --bf output is byte-identical to the host engine's.
+
+    In-batch order is resolved by one (bit, pos) sort (the
+    ops/extract._stream_filter_bloom construction): the first in-batch
+    occurrence of a bit keeps only if already set; later occurrences always
+    keep (they see the first's insert).  Inserts scatter-ADD deduplicated
+    not-already-set bits — each word receives each bit at most once, so
+    add == or, deterministically.
+
+    bits: u32 [m/32] (m a power of two).  Returns (keep, new_bits).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    N = key_lo.shape[0]
+    m_bits = bits.shape[0] * 32
+    bidx = (key_lo ^ (key_hi * jnp.uint64(0x9E3779B97F4A7C15))) \
+        & jnp.uint64(m_bits - 1)
+    widx = (bidx >> jnp.uint64(5)).astype(jnp.int32)
+    bmask = jnp.uint32(1) << (bidx & jnp.uint64(31)).astype(jnp.uint32)
+    mem = (bits[widx] & bmask) != 0
+
+    sidx = jnp.arange(N, dtype=jnp.int32)
+    skey = jnp.where(valid, bidx, ~jnp.uint64(0))
+    sk, si = jax.lax.sort((skey, sidx), num_keys=2)  # si unique: == stable
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    scand = sk != ~jnp.uint64(0)
+    dup = jnp.zeros((N,), bool).at[si].set(scand & ~first)
+
+    keep = valid & (mem | dup)
+    ins = scand & first & ~mem[si]
+    ins_w = jnp.where(ins, (sk >> jnp.uint64(5)).astype(jnp.int32),
+                      jnp.int32(bits.shape[0]))  # OOB rows drop
+    ins_m = jnp.uint32(1) << (sk & jnp.uint64(31)).astype(jnp.uint32)
+    new_bits = bits.at[ins_w].add(jnp.where(ins, ins_m, jnp.uint32(0)),
+                                  mode="drop")
+    return keep, new_bits
+
+
+def _no_mpos() -> bool:
+    """MDBG_NO_MPOS=1 drops the per-node record-position plane from the
+    finalize output: the native .sequences writer re-derives minimizers by
+    rolling ntHash over each record instead (its pre-mpos mode) — trades
+    ~42 B/node of device->host transfer for host hashing CPU.  Worth it
+    only when the D2H link is the bottleneck (this environment's relay)."""
+    import os
+
+    return os.environ.get("MDBG_NO_MPOS", "0") == "1"
+
+
+def counter_flags(params) -> dict:
+    """Buffer-layout flags a DeviceNodeCounter must share with
+    make_fused_construct (both derive from the same Params): the exact-cut
+    extent plane (raw inputs) and the --bf bit tensor ride in the buffers
+    tuple, so a mismatch would misalign the fori_loop carry."""
+    return dict(
+        with_ext=not (params.reads_already_hpc
+                      or getattr(params, "seq_ref_cuts", False)),
+        use_bf=(params.use_bf and params.min_kmer_abundance > 1
+                and not params.reference),
+        bloom_log2_bits=params.bloom_log2_bits,
+    )
+
+
 def window_slot_capacity(params, B: int, L: int, M: int) -> int:
     """Per-read compacted window slots W_slot for the batch-slot layout.
 
@@ -161,7 +234,7 @@ def _scan_min_i32_rev_excl(x, fill: int):
 
 def _finalize_compact(b_lo, b_hi, b_occ, b_mh, b_mp, b_mpe=None, *, k, M,
                       minab, node_cap, pass_cap, emit_mpos=False,
-                      prefix_rows=None, mpos_u16=False):
+                      prefix_rows=None, mpos_u16=False, bf=False):
     """Sort + segment-reduce for the single-chip compact layout.
 
     b_lo/b_hi [read_cap*W_slot] batch-compacted key halves (valid windows
@@ -227,8 +300,14 @@ def _finalize_compact(b_lo, b_hi, b_occ, b_mh, b_mp, b_mpe=None, *, k, M,
     nexth = _scan_min_i32_rev_excl(nexth, fill=N)
     count_row = (jnp.minimum(nexth, n_valid) - headpos).astype(jnp.int32)
     # a key's crossing row is the (minab-1)-th of its run, present iff the
-    # run reaches minab
-    crossing = sval & (iota - headpos == minab - 1) & (count_row >= minab)
+    # run reaches minab.  Under --bf (device Bloom pre-filter) the buffer
+    # holds only post-filter sightings — the reference's table sees
+    # occurrences 2..n of a key (its first sighting only marked the filter,
+    # main.rs:639-662) — so the crossing shifts one earlier and the
+    # reported abundance adds the marked sighting back.
+    minab_sel = minab - 1 if bf else minab
+    crossing = sval & (iota - headpos == minab_sel - 1) \
+        & (count_row >= minab_sel)
     ccum = jnp.cumsum(crossing.astype(jnp.int32))
     n_pass = ccum[-1]
 
@@ -240,7 +319,7 @@ def _finalize_compact(b_lo, b_hi, b_occ, b_mh, b_mp, b_mpe=None, *, k, M,
                        N - 1)
     u_lo = slo[cpos]
     u_hi = shi[cpos]
-    counts = count_row[cpos].astype(jnp.uint32)
+    counts = (count_row[cpos] + (1 if bf else 0)).astype(jnp.uint32)
     cross_occ = socc[cpos]
 
     # deterministic crossing order: one pass_cap-sized sort by occurrence
@@ -435,7 +514,8 @@ def _gather_window_meta(b_mh, b_mp, occs, *, k, M, with_record_pos=False,
 
 
 def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
-                         packed: bool = False, w_slot: int | None = None):
+                         packed: bool = False, w_slot: int | None = None,
+                         bf: bool | None = None):
     """One-dispatch construction: fori_loop over n_batches batches of staged
     device reads, extracting window keys + minimizer rows and appending into
     the counter buffers.
@@ -482,6 +562,16 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
               ref_cuts=getattr(params, "seq_ref_cuts", False))
     sentinel = ~np.uint64(0)
     l_bias = params.l  # mpe plane stores extent_end - l (see gather)
+    # device --bf: the Bloom screen drops each key's first sighting before
+    # the counter, so the finalize sorts only post-filter rows — the
+    # reference's headline protocol (README.md:133-135 runs use --bf) and,
+    # on error-rate inputs, a ~2.5-3x cut of the dominant sort size when
+    # the caller also shrinks W_slot (singletons dominate raw windows).
+    _fl = counter_flags(params)
+    # bf=False: the chunked driver's Bloom lives in its host merge
+    # (nt_merge_chunk) — its construct must not screen twice
+    bf_on = _fl["use_bf"] if bf is None else bf
+    with_ext = _fl["with_ext"]
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def construct(all_codes, all_lengths, buffers, read_base=0,
@@ -509,24 +599,45 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
             out = _device_extract(codes, lengths, **ek)
             row0 = read_base + i * B
 
-            # batch-slot compaction: valid windows are a per-read prefix, so
-            # output position p maps to (row, w) via rank-of-p in the
-            # exclusive cumsum of per-read window counts.  The rank is a
-            # dense [S, B] compare-reduce — ~20x faster than
-            # jnp.searchsorted here (XLA lowers the binary search to a
-            # sequential while-loop of gathers: ~1.45 ms/batch vs ~0.07)
-            nw = out["nw"].astype(jnp.int32)                       # [B]
-            offs = jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32), jnp.cumsum(nw)])      # [B+1]
-            nv = offs[B]
-            pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
-            row = jnp.minimum(
-                jnp.sum((pos[:, None] >= offs[None, 1:]).astype(jnp.int32),
-                        axis=1),
-                B - 1)
-            w = pos - offs[row]
-            valid = pos < jnp.minimum(nv, S)
-            src = jnp.clip(row * W + w, 0, B * W - 1)
+            if bf_on:
+                # Bloom screen: keep is no longer a per-read prefix, so the
+                # slot compaction goes through one flat [B*W] position sort
+                keys_f = out["keys"].reshape(B * W, 2)
+                widx_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+                valid_w = (widx_w < out["nw"][:, None]).reshape(B * W)
+                bits = bufs_c[-1]
+                keep, bits = _bloom_pass(keys_f[:, 0], keys_f[:, 1],
+                                         valid_w, bits)
+                fpos = jax.lax.broadcasted_iota(
+                    jnp.uint32, (B * W, 1), 0)[:, 0]
+                skey = jnp.where(keep, fpos, jnp.uint32(0xFFFFFFFF))
+                ssrc = jax.lax.sort(skey, dimension=0)[:S]
+                valid = ssrc != jnp.uint32(0xFFFFFFFF)
+                src = jnp.minimum(ssrc, np.uint32(B * W - 1)).astype(
+                    jnp.int32)
+                row = src // W
+                w = src - row * W
+                nv = keep.sum().astype(jnp.int32)
+            else:
+                # batch-slot compaction: valid windows are a per-read
+                # prefix, so output position p maps to (row, w) via
+                # rank-of-p in the exclusive cumsum of per-read window
+                # counts.  The rank is a dense [S, B] compare-reduce — ~20x
+                # faster than jnp.searchsorted here (XLA lowers the binary
+                # search to a sequential while-loop of gathers:
+                # ~1.45 ms/batch vs ~0.07)
+                nw = out["nw"].astype(jnp.int32)                       # [B]
+                offs = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), jnp.cumsum(nw)])      # [B+1]
+                nv = offs[B]
+                pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+                row = jnp.minimum(
+                    jnp.sum((pos[:, None] >= offs[None, 1:]).astype(
+                        jnp.int32), axis=1),
+                    B - 1)
+                w = pos - offs[row]
+                valid = pos < jnp.minimum(nv, S)
+                src = jnp.clip(row * W + w, 0, B * W - 1)
             # keys kept as separate lo/hi [N] planes: a [N, 2] u64 buffer
             # tiles as T(8,128) on TPU — the minor dim 2 pads 64x and one
             # layout-assigned copy of it OOMs HBM at whole-run shapes
@@ -548,13 +659,15 @@ def make_fused_construct(params, B: int, L: int, M: int, n_batches: int,
             b_mp = jax.lax.dynamic_update_slice(
                 b_mp, out["mp"], (row0, jnp.int32(0)))
             new_bufs = (b_lo, b_hi, b_occ, b_mh, b_mp)
-            if len(bufs_c) > 5:
+            if with_ext:
                 # exact-cut extent plane, biased by -l (see
                 # _gather_window_meta's extpack reconstruction)
                 b_mpe = jax.lax.dynamic_update_slice(
                     bufs_c[5], out["mpe"] - jnp.int32(l_bias),
                     (row0, jnp.int32(0)))
                 new_bufs = new_bufs + (b_mpe,)
+            if bf_on:
+                new_bufs = new_bufs + (bits,)
             n_over = (n_over + out["overflow"].sum().astype(jnp.int32)
                       + (nv > S).astype(jnp.int32))
             return new_bufs, n_win + jnp.minimum(nv, S), n_over
@@ -631,7 +744,8 @@ class DeviceNodeCounter:
                  minab: int, pass_cap: int | None = None,
                  w_slot: int | None = None, emit_overlap_keys: bool = False,
                  chunk_slots: int = 2, mpos_u16: bool = False,
-                 with_ext: bool = False):
+                 with_ext: bool = False, use_bf: bool = False,
+                 bloom_log2_bits: int = 30):
         import jax
         import jax.numpy as jnp
 
@@ -667,6 +781,13 @@ class DeviceNodeCounter:
         )
         if with_ext:
             self.buffers += (jnp.zeros((read_cap, M), dtype=jnp.int32),)
+        # device --bf bit tensor rides LAST in the buffers tuple (the fused
+        # construct updates it per batch; finalize never reads it)
+        self.use_bf = use_bf
+        if use_bf:
+            self.buffers += (jnp.zeros((1 << bloom_log2_bits) // 32,
+                                       dtype=jnp.uint32),)
+        self._n_fin = 5 + int(with_ext)  # finalize consumes these buffers
         self._finalize_cache: dict = {}
         self._finalize_chunk = jax.jit(functools.partial(
             _finalize_chunk, node_cap=self.window_cap,
@@ -695,8 +816,9 @@ class DeviceNodeCounter:
             fn = self._jax.jit(functools.partial(
                 _finalize_compact, k=self.k, M=self.M, minab=self.minab,
                 node_cap=self.node_cap, pass_cap=self.pass_cap,
-                emit_mpos=self.emit_overlap_keys, prefix_rows=prefix_rows,
-                mpos_u16=self.mpos_u16,
+                emit_mpos=self.emit_overlap_keys and not _no_mpos(),
+                prefix_rows=prefix_rows,
+                mpos_u16=self.mpos_u16, bf=self.use_bf,
             ))
             self._finalize_cache[key] = fn
         return fn
@@ -713,6 +835,7 @@ class DeviceNodeCounter:
             new_cap *= 2
         if new_cap == self.read_cap:
             return
+        n_fin = self._n_fin
 
         @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
         def widen(buffers, new_cap):
@@ -731,9 +854,11 @@ class DeviceNodeCounter:
             np_ = jnp.zeros((new_cap, self.M), dtype=jnp.int32)
             np_ = jax.lax.dynamic_update_slice(np_, b_mp, (0, 0))
             out = (nlo, nhi, no, nh, np_)
-            if len(buffers) > 5:
+            if n_fin > 5:  # exact-cut extent plane widens with the reads
                 ne = jnp.zeros((new_cap, self.M), dtype=jnp.int32)
                 out += (jax.lax.dynamic_update_slice(ne, buffers[5], (0, 0)),)
+            # the --bf bit tensor is input-size independent: pass through
+            out += tuple(buffers[n_fin:])
             return out
 
         self.buffers = widen(self.buffers, new_cap)
@@ -752,7 +877,7 @@ class DeviceNodeCounter:
         self.buffers still references the buffers the reduction should see
         (the following construct donates them)."""
         fin = self._make_finalize(prefix_rows)
-        return fin(*self.buffers)
+        return fin(*self.buffers[: self._n_fin])
 
     def finalize_resolve(self, out, lazy: bool = False, row_lo: int = 0,
                          prefix_rows: int | None = None,
@@ -781,7 +906,7 @@ class DeviceNodeCounter:
             while self.pass_cap < n_pass:
                 self.pass_cap *= 2
             fin = self._make_finalize(prefix_rows)
-            out = fin(*self.buffers)
+            out = fin(*self.buffers[: self._n_fin])
             n_pass, n_unique, node_overflow = (
                 int(x) for x in np.asarray(out["stats3"]))
         if lazy:

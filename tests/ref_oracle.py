@@ -132,7 +132,12 @@ class OracleTable:
         return (lo ^ ((hi * 0x9E3779B97F4A7C15) & _M64)) & self.bloom_mask
 
     def add(self, node: tuple, seq_reversed: bool, shift: tuple,
-            read_seq: str, read_offsets: tuple):
+            read_seq: str, read_offsets: tuple, gfa_shift: tuple = None):
+        """gfa_shift: the raw START-distance pair the reference stores in
+        DbgEntry.shift (feeds L-line overlaps, main.rs:1091-1092) — differs
+        from the .sequences `shift` only under exact_cuts."""
+        if gfa_shift is None:
+            gfa_shift = shift
         minab = self.minab
         if self.use_bf and not self.reference and minab > 1:
             bit = self._bloom_bit(node)
@@ -150,20 +155,20 @@ class OracleTable:
                 self.node_index += 1
                 previous_abundance = 0
                 seqlen = read_offsets[2]
-                self.entries[node] = [cur, 0, seqlen, shift]
+                self.entries[node] = [cur, 0, seqlen, gfa_shift]
                 contains_key = True
         if contains_key:
             e = self.entries[node]
             previous_abundance = e[1]
             if previous_abundance == minab - 1:
                 e[2] = read_offsets[2]
-                e[3] = shift
+                e[3] = gfa_shift
             e[1] += 1
         else:
             cur = self.node_index
             self.node_index += 1
             self.entries[node] = [cur, previous_abundance + 1,
-                                  read_offsets[2], shift]
+                                  read_offsets[2], gfa_shift]
         if self.reference or previous_abundance >= 1 or minab == 1:
             if previous_abundance == minab - 1:
                 s = read_seq[read_offsets[0] : read_offsets[1]]
@@ -199,11 +204,77 @@ def oracle_assemble(reads: list[str], *, k: int, l: int, density: float,
         for i in range(len(transformed) - k + 1):
             node, rev = normalize(tuple(transformed[i : i + k]))
             d_first = mpos[i + 1] - mpos[i]
+            d_last_s = mpos[i + k - 1] - mpos[i + k - 2]
             d_last = (mend[i + k - 1] - mend[i + k - 2] if exact_cuts
-                      else mpos[i + k - 1] - mpos[i + k - 2])
+                      else d_last_s)
             shift = (d_last, d_first) if rev else (d_first, d_last)
+            gfa_shift = (d_last_s, d_first) if rev else (d_first, d_last_s)
             end = mend[i + k - 1] if exact_cuts else mpos[i + k - 1] + l
             read_offsets = (mpos[i], end,
                             mpos[i + k - 1] + 1 - mpos[i] + 1)
-            table.add(node, rev, shift, seq, read_offsets)
+            table.add(node, rev, shift, seq, read_offsets,
+                      gfa_shift=gfa_shift)
     return table
+
+
+def oracle_gfa(table: OracleTable, presimp: float = 0.01):
+    """The reference's edge enumeration + presimp + deferred symmetric write
+    (main.rs:1006-1117), literally, over the oracle table — FULL-VECTOR
+    (k-1)-overlap comparisons, no fingerprints.
+
+    Returns (nodes, edges): nodes = {vec: (seqlen, abundance)} after the
+    abundance filter (main.rs:922-933); edges = sorted list of written
+    L-records as (vec1, ori1, vec2, ori2, overlap) — a node-id-free multiset
+    the pipeline's GFA is compared against (ids are arrival-order-dependent
+    in the reference and crossing-ordered here, PARITY.md)."""
+    kept = [(vec, e) for vec, e in table.entries.items()
+            if table.reference or e[1] >= table.minab]
+    kept.sort(key=lambda t: t[1][0])  # insertion order (the determinization)
+
+    km_index: dict[tuple, list[tuple]] = {}
+    for vec, _e in kept:
+        # main.rs:1023-1032: each node indexed under normalize(prefix) and
+        # normalize(suffix)
+        for sub in (normalize(vec[:-1])[0], normalize(vec[1:])[0]):
+            km_index.setdefault(sub, []).append(vec)
+
+    removed: set[tuple] = set()
+    vec_edges = []
+    nb = {vec: i for i, (vec, _) in enumerate(kept)}
+    for vec, e in kept:
+        suf, pre = vec[1:], vec[:-1]
+        suf_r = tuple(reversed(suf))
+        pre_r = tuple(reversed(pre))
+        for key in (normalize(suf)[0], normalize(pre)[0]):
+            potential = []
+            for cand in km_index.get(key, ()):
+                c_pre, c_suf_r = cand[:-1], tuple(reversed(cand[1:]))
+                if suf == c_pre:
+                    potential.append((cand, "+", "+"))
+                if suf == c_suf_r:
+                    potential.append((cand, "+", "-"))
+                if pre_r == c_pre:
+                    potential.append((cand, "-", "+"))
+                if pre_r == c_suf_r:
+                    potential.append((cand, "-", "-"))
+            if not potential:
+                continue
+            ab_max = max(table.entries[c][1] for c, _, _ in potential)
+            ab_ref = min(ab_max, e[1])
+            for cand, o1, o2 in potential:
+                e2 = table.entries[cand]
+                if presimp > 0.0 and len(potential) >= 2 \
+                        and e2[1] < presimp * ab_ref:
+                    removed.add((nb[vec], nb[cand]))
+                    continue
+                shift = e[3][0] if o1 == "+" else e[3][1]
+                overlap = min(e[2] - shift, e2[2] - 1)
+                vec_edges.append((vec, o1, cand, o2, overlap))
+
+    edges = []
+    for v1, o1, v2, o2, ov in vec_edges:
+        if (nb[v1], nb[v2]) in removed or (nb[v2], nb[v1]) in removed:
+            continue
+        edges.append((v1, o1, v2, o2, ov))
+    nodes = {vec: (e[2], e[1]) for vec, e in kept}
+    return nodes, sorted(edges)

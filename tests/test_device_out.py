@@ -17,7 +17,7 @@ def _small_run(tmp_path, tag, emit_keys):
     import jax.numpy as jnp
 
     from rust_mdbg_tpu.ops.extract import DeviceExtractor
-    from rust_mdbg_tpu.ops.sort_count import (DeviceNodeCounter,
+    from rust_mdbg_tpu.ops.sort_count import (DeviceNodeCounter, counter_flags,
                                               make_fused_construct)
     from rust_mdbg_tpu.utils.seq import CODE_BASE
 
@@ -38,7 +38,7 @@ def _small_run(tmp_path, tag, emit_keys):
     M = dev.capacity(L)
     counter = DeviceNodeCounter(k=p.k, M=M, read_cap=n_reads,
                                 node_cap=1 << 12, minab=2,
-                                emit_overlap_keys=emit_keys)
+                                emit_overlap_keys=emit_keys, **counter_flags(p))
     construct = make_fused_construct(p, B, L, M, n_reads // B)
     bufs, _n, n_over = construct(jnp.asarray(codes), jnp.asarray(lengths),
                                  counter.buffers)
@@ -167,7 +167,7 @@ def test_phased_matches_single_shot(tmp_path):
 
     from rust_mdbg_tpu.core.device_out import PhasedEmitter
     from rust_mdbg_tpu.ops.extract import DeviceExtractor
-    from rust_mdbg_tpu.ops.sort_count import (DeviceNodeCounter,
+    from rust_mdbg_tpu.ops.sort_count import (DeviceNodeCounter, counter_flags,
                                               make_fused_construct)
     from rust_mdbg_tpu.utils.seq import CODE_BASE
 
@@ -187,7 +187,7 @@ def test_phased_matches_single_shot(tmp_path):
     def build(tag, phased):
         counter = DeviceNodeCounter(k=p.k, M=M, read_cap=n_reads,
                                     node_cap=1 << 12, minab=2,
-                                    emit_overlap_keys=True)
+                                    emit_overlap_keys=True, **counter_flags(p))
         construct = make_fused_construct(p, B, L, M, n_batches)
         prefix = str(tmp_path / tag)
         if not phased:

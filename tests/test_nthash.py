@@ -77,6 +77,17 @@ def test_external_oracle_vector():
     assert ntc64("TGCAG") == 0x0BAFA6728FC6DABF
 
 
+def test_external_oracle_vector_reverse():
+    """Second published vector of the same crate:
+    ntr64(b"TGCAG", 0, 5) == 0x8cf2d4072cca480e.  The reverse-strand hash
+    exercises the COMPLEMENT seed lookups and the opposite rotation
+    schedule, which the forward vector alone does not pin (a swapped
+    rotl/rotr in the reverse recurrence would pass ntf64 and every
+    self-consistency test, but not this)."""
+    f, r = nthash_windows_np(encode_bases("TGCAG"), 5)
+    assert int(r[0]) == 0x8CF2D4072CCA480E
+
+
 def test_n_hashes_as_zero_seed():
     f1, _ = nthash_windows_np(encode_bases("ANA"), 3)
     # middle N contributes rotl(0, ...) = 0

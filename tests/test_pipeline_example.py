@@ -21,9 +21,55 @@ def example_run(tmp_path_factory):
 def test_counts(example_run):
     prefix, stats = example_run
     assert stats["nb_reads"] == 657
-    # snapshot of this implementation's deterministic output
+    # 104/206 pinned below by test_oracle_derived_golden, not a snapshot
     assert stats["nb_nodes"] == 104
     assert stats["nb_edges"] == 206
+
+
+def test_oracle_derived_golden(example_run):
+    """The e2e example assertion, derived from the transliteration oracle
+    extended through edges + presimp (tests/ref_oracle.oracle_gfa,
+    main.rs:1006-1117) instead of a self-snapshot (round-4 verdict #7):
+    node set (vector-keyed, with LN/KC) and the full edge multiset
+    (vector-keyed L records incl. orientations and overlap lengths) must
+    match the pipeline GFA exactly."""
+    import gzip
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_oracle import oracle_assemble, oracle_gfa
+
+    prefix, stats = example_run
+    with gzip.open("/root/reference/example/reads-0.00.fa.gz", "rt") as f:
+        reads = []
+        cur = []
+        for line in f:
+            if line.startswith(">"):
+                if cur:
+                    reads.append("".join(cur))
+                cur = []
+            else:
+                cur.append(line.strip())
+        reads.append("".join(cur))
+    table = oracle_assemble(reads, k=7, l=10, density=0.0008,
+                            min_abundance=2, exact_cuts=True)
+    o_nodes, o_edges = oracle_gfa(table, presimp=0.01)
+    assert len(o_nodes) == 104 and len(o_edges) == 206  # oracle-computed
+
+    # pipeline GFA, re-keyed by minimizer vector via .sequences
+    vec_of = {r["index"]: r["minimizers"] for r in iter_sequences(prefix)}
+    p_nodes = {}
+    p_edges = []
+    for line in open(prefix + ".gfa"):
+        v = line.rstrip("\n").split("\t")
+        if v[0] == "S":
+            p_nodes[vec_of[int(v[1])]] = (int(v[3][5:]), int(v[4][5:]))
+        elif v[0] == "L":
+            p_edges.append((vec_of[int(v[1])], v[2], vec_of[int(v[3])],
+                            v[4], int(v[5][:-1])))
+    assert p_nodes == o_nodes
+    assert sorted(p_edges) == o_edges
 
 
 def test_gfa_format(example_run):

@@ -1,5 +1,7 @@
 """Device-resident sort/segment counter == native host node table."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -8,7 +10,8 @@ import jax
 from rust_mdbg_tpu.core.extract import extract_windows_host
 from rust_mdbg_tpu.core.nodetable import NodeTable
 from rust_mdbg_tpu.ops.extract import DeviceExtractor
-from rust_mdbg_tpu.ops.sort_count import DeviceNodeCounter, make_fused_construct
+from rust_mdbg_tpu.ops.sort_count import (
+    DeviceNodeCounter, counter_flags, make_fused_construct)
 from rust_mdbg_tpu.params import Params
 
 
@@ -28,7 +31,7 @@ def test_counter_matches_host_table(minab):
     M = dev.capacity(L)
     W = M - p.k + 1
     counter = DeviceNodeCounter(k=p.k, M=M, read_cap=n_reads,
-                                node_cap=1 << 14, minab=minab)
+                                node_cap=1 << 14, minab=minab, **counter_flags(p))
     construct = make_fused_construct(p, B, L, M, n_batches)
     bufs, _n, n_over = construct(codes, lengths, counter.buffers)
     counter.buffers = bufs
@@ -112,7 +115,7 @@ def test_finalize_adaptive_node_cap():
     def run(node_cap, pass_cap=None):
         counter = DeviceNodeCounter(k=p.k, M=M, read_cap=B,
                                     node_cap=node_cap, minab=1,
-                                    pass_cap=pass_cap)
+                                    pass_cap=pass_cap, **counter_flags(p))
         construct = make_fused_construct(p, B, L, M, 1)
         bufs, _n, n_over = construct(codes, lengths, counter.buffers)
         counter.buffers = bufs
@@ -150,7 +153,7 @@ def test_batch_slot_compaction_matches_padded():
 
     def run(w_slot):
         counter = DeviceNodeCounter(k=p.k, M=M, read_cap=n_reads,
-                                    node_cap=1 << 14, minab=2, w_slot=w_slot)
+                                    node_cap=1 << 14, minab=2, w_slot=w_slot, **counter_flags(p))
         construct = make_fused_construct(p, B, L, M, n_batches, w_slot=w_slot)
         bufs, n_win, n_over = construct(codes, lengths, counter.buffers)
         counter.buffers = bufs
@@ -181,3 +184,32 @@ def test_batch_slot_compaction_matches_padded():
     # a slot too small for the windows of one batch is counted as overflow
     _, _, n_over = run(8)
     assert n_over > 0
+
+
+def test_device_bf_matches_oracle(tmp_path):
+    """Device --bf (Bloom screen inside the fused construct,
+    ops/sort_count._bloom_pass) must equal the host table's --bf EXACTLY —
+    same single-hash bit formula (native/mdbg_core.cpp nt_add) => identical
+    false-positive pattern, sequential in-batch visibility => identical
+    crossing capture."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_oracle import oracle_assemble
+    from test_ref_oracle import synth_reads, write_fasta, node_content, \
+        oracle_content
+    from rust_mdbg_tpu.core.pipeline import assemble_device_table
+    from rust_mdbg_tpu.utils.timing import PhaseTimer
+
+    rng = np.random.default_rng(42)
+    reads = synth_reads(rng, 2500, genome_bp=12000, read_len=(8, 300))
+    path = str(tmp_path / "r.fa")
+    write_fasta(path, reads)
+    k, l, d = 4, 10, 0.02
+    table = oracle_assemble(reads, k=k, l=l, density=d, min_abundance=2,
+                            use_bf=True, bloom_log2_bits=24,
+                            exact_cuts=True)
+    p = Params(k=k, l=l, density=d, engine="device", min_kmer_abundance=2,
+               use_bf=True, bloom_log2_bits=24, batch_reads=256)
+    prefix = str(tmp_path / "out")
+    assemble_device_table(path, p, prefix, PhaseTimer(), {})
+    assert node_content(prefix, p) == oracle_content(table)
