@@ -71,6 +71,11 @@ def synth_reads(genome_mbp=20, coverage=52, read_len=24576, seed=0):
 def main():
     import jax
 
+    # MDBG_NO_MPOS=1 would drop the 42 B/node record-position plane from
+    # the tail fetch (writer re-derives by rolling ntHash) — measured a
+    # NET loss here (seqwrite 1.4 -> 1.7 s: the rolling hash on 4 busy
+    # cores costs more than the overlapped transfer saves); keep the plane
+
     # persistent XLA cache: compiles (remote, slow through the axon relay)
     # are paid once per shape across bench runs
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -88,15 +93,16 @@ def main():
 
     from rust_mdbg_tpu.ops.sort_count import DeviceNodeCounter
 
-    # skiphpc + --bf: the reference's headline HG002 runs were fed pre-HPC'd
-    # reads AND used the Bloom pre-filter (README.md:133-135 "--bf
-    # --no-error-correct"), so the benchmark protocol matches both.  On
-    # device, --bf screens each key's first sighting out of the counter
-    # (ops/sort_count._bloom_pass), which cuts the dominant finalize sorts
-    # by the surviving-window fraction (~40% at this error model).
-    use_bf = os.environ.get("MDBG_BENCH_BF", "1") != "0"
+    # skiphpc: the reference's headline HG002 runs were fed pre-HPC'd reads
+    # (README.md:133-135), so the benchmark protocol matches.  MDBG_BENCH_BF=1
+    # additionally enables the device --bf screen (the reference's Bloom
+    # protocol; byte-exact vs the host engine) — measured NET-NEGATIVE here:
+    # the per-batch bloom gathers/scatters cost more device time than the
+    # smaller finalize sorts save (2^30 bits: loop 1.05->1.40 s; 2^32 bits:
+    # ->2.04 s), so the headline stays on the exact two-pass counter.
+    use_bf = os.environ.get("MDBG_BENCH_BF", "0") == "1"
     p = Params(k=21, l=14, density=0.003, min_kmer_abundance=2,
-               engine="pallas", use_bf=use_bf, bloom_log2_bits=30,
+               engine="pallas", use_bf=use_bf, bloom_log2_bits=32,
                batch_reads=int(os.environ.get("MDBG_BENCH_B", "128")),
                reads_already_hpc=True)
     genome, starts, L = synth_reads()
@@ -280,9 +286,9 @@ def main():
 
     # warmup: compile construct+finalize, establish the transfer channel
     run_once()
-    # best of 2 timed reps: the dev environment's device<->host relay has
+    # best of 3 timed reps: the dev environment's device<->host relay has
     # ~2x run-to-run latency variance; min measures the code, not the relay
-    tm, g, n_windows, n_uniques = min((run_once() for _ in range(2)),
+    tm, g, n_windows, n_uniques = min((run_once() for _ in range(3)),
                                       key=lambda r: r[0]["wall"])
     t_loop, t_construct, t_seqw = tm["loop"], tm["construct"], tm["seqw"]
 

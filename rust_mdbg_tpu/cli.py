@@ -169,7 +169,7 @@ def main(argv=None):
         "to-basespace", "gfa-asm", "magic-simplify", "multik", "gfa2fasta",
         "break-loops", "simplify-meta", "gfa-complete", "hpc-compress", "gfa-strip",
         "extreme-simplify",
-        "synth-reads", "ec-scale",
+        "synth-reads", "ec-scale", "quality-n50",
     ):
         from .tools import dispatch
 

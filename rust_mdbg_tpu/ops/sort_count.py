@@ -138,10 +138,26 @@ def _bloom_pass(key_lo, key_hi, valid, bits):
     mem = (bits[widx] & bmask) != 0
 
     sidx = jnp.arange(N, dtype=jnp.int32)
-    skey = jnp.where(valid, bidx, ~jnp.uint64(0))
-    sk, si = jax.lax.sort((skey, sidx), num_keys=2)  # si unique: == stable
+    rbits = max(1, (N - 1).bit_length())
+    # strictly < 64 so the all-ones invalid sentinel shifts to a value
+    # above every real bit index
+    if (m_bits - 1).bit_length() + rbits < 64:
+        # pack (bit index, row) into ONE u64 sort operand — the bitonic
+        # passes move half the bytes of the 2-operand variant, and the
+        # row is recovered by mask (rows are unique, so the single-key
+        # sort is stable by construction)
+        packed = (bidx << jnp.uint64(rbits)) | sidx.astype(jnp.uint64)
+        packed = jnp.where(valid, packed, ~jnp.uint64(0))
+        sp = jax.lax.sort(packed, dimension=0)
+        sk = sp >> jnp.uint64(rbits)
+        si = (sp & jnp.uint64((1 << rbits) - 1)).astype(jnp.int32)
+        scand = sp != ~jnp.uint64(0)
+        si = jnp.minimum(si, N - 1)
+    else:
+        skey = jnp.where(valid, bidx, ~jnp.uint64(0))
+        sk, si = jax.lax.sort((skey, sidx), num_keys=2)  # si unique: stable
+        scand = sk != ~jnp.uint64(0)
     first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
-    scand = sk != ~jnp.uint64(0)
     dup = jnp.zeros((N,), bool).at[si].set(scand & ~first)
 
     keep = valid & (mem | dup)

@@ -51,6 +51,13 @@ def dispatch(name: str, argv: list[str]) -> int:
         from ..experiments.ec_scale import main
 
         return main(argv)
+    if name == "quality-n50":
+        import sys as _sys
+
+        from ..experiments.quality_n50 import main
+
+        _sys.argv = ["quality-n50"] + list(argv)
+        return main()
     if name == "extreme-simplify":
         from .extreme_view import main
 
