@@ -41,17 +41,17 @@ from .scale_demo import synth_fasta
 
 def run_leg(workdir: str, err: float, genome_mbp: int, coverage: int,
             k: int, l: int, d: float, minab: int, seed: int,
-            engine: str = "device") -> dict:
+            engine: str = "device", repeat_frac: float = 0.2) -> dict:
     from rust_mdbg_tpu.core.pipeline import assemble
     from rust_mdbg_tpu.params import Params
     from rust_mdbg_tpu.tools.magic_simplify import magic_simplify
 
-    tag = f"e{err:g}".replace(".", "p")
+    tag = f"e{err:g}_r{repeat_frac:g}".replace(".", "p")
     reads = os.path.join(workdir, f"reads_{tag}.fa")
     t0 = time.perf_counter()
     total = synth_fasta(reads, genome_bp=genome_mbp * 1_000_000,
                         coverage=coverage, seed=seed, err=err,
-                        repeat_frac=0.2)
+                        repeat_frac=repeat_frac)
     t_synth = time.perf_counter() - t0
     prefix = os.path.join(workdir, f"asm_{tag}")
     p = Params(k=k, l=l, density=d, min_kmer_abundance=minab,
@@ -69,7 +69,7 @@ def run_leg(workdir: str, err: float, genome_mbp: int, coverage: int,
     except OSError:
         pass
     return dict(
-        err=err, total_gbp=round(total / 1e9, 2),
+        err=err, repeat_frac=repeat_frac, total_gbp=round(total / 1e9, 2),
         nodes=stats.get("nb_nodes"), edges=stats.get("nb_edges"),
         synth_s=round(t_synth, 1), asm_s=round(t_asm, 1),
         msimpl_s=round(t_msimpl, 1), **contigs,
