@@ -6,7 +6,7 @@ alignment (/root/reference/src/poa.rs:781-874): a topological-order DP of
 candidates per template.  models/poa.PoaGraph runs it as a host numpy
 row-sweep; this module runs MANY (graph, query) pairs as one vmapped device
 dispatch — lax.scan over topo positions, log-step max-scan for the
-insertion closure, and a vmapped while_loop traceback that returns compact
+insertion closure, and a masked bounded-fori traceback that returns compact
 op codes (the [N, M] kind/pred matrices never leave the device).
 
 Exactness: bit-equal Alignments to PoaGraph._semiglobal_vec — same candidate
@@ -159,17 +159,21 @@ def _dp_single(wts, pred, topo, n, term, q, qlen, *, N, P, M,
     ops_p = jnp.full(OPS, -1, dtype=jnp.int32)
     ops_n = jnp.full(OPS, -1, dtype=jnp.int32)
 
-    def cond(st):
-        i, j, t, *_ = st
-        return (i > 0) & (j > 0) & (t < OPS)
-
-    def step(st):
-        i, j, t, ok_, op_, on_ = st
+    # BOUNDED traceback: a masked fori_loop over the OPS ceiling instead of
+    # lax.while_loop — semantically identical under vmap (a vmapped while
+    # runs until ALL lanes finish anyway), and while_loop is the primitive
+    # that faults this environment's remote TPU worker (the syncmer Pallas
+    # port hit the same; ROADMAP round-4 note).  Inactive lanes freeze
+    # their (i, j) state, so their slots keep the -1 sentinel.
+    def step(t, st):
+        i, j, nops_, ok_, op_, on_ = st
+        active = (i > 0) & (j > 0)
         k = kind[i, j].astype(jnp.int32)
         p = predm[i, j]
-        ok_ = ok_.at[t].set(k)
-        op_ = op_.at[t].set(p)
-        on_ = on_.at[t].set(jnp.where(k == 2, p, i - 1))
+        ok_ = ok_.at[t].set(jnp.where(active, k, -1))
+        op_ = op_.at[t].set(jnp.where(active, p, -1))
+        on_ = on_.at[t].set(
+            jnp.where(active, jnp.where(k == 2, p, i - 1), -1))
         has_p = p >= 0
         # M with pred: i=p+1, j-=1 | D with pred: i=p+1 | I with node: i=p+1,
         # j-=1 | M None: j-=1, STOP | D None: STOP | I None: i-=1, j-=1
@@ -177,12 +181,13 @@ def _dp_single(wts, pred, topo, n, term, q, qlen, *, N, P, M,
         nj = jnp.where(k == 1, j, j - 1)
         nj = jnp.where((k == 0) & ~has_p, j - 1, nj)
         ni = jnp.where((k <= 1) & ~has_p, 0, ni)         # stop flags
-        return ni, nj, t + 1, ok_, op_, on_
+        return (jnp.where(active, ni, i), jnp.where(active, nj, j),
+                nops_ + active.astype(jnp.int32), ok_, op_, on_)
 
     i0 = (best + 1).astype(jnp.int32)
-    _, ystart, nops, ops_k, ops_p, ops_n = jax.lax.while_loop(
-        cond, step, (i0, qlen.astype(jnp.int32), jnp.int32(0),
-                     ops_k, ops_p, ops_n))
+    _, ystart, nops, ops_k, ops_p, ops_n = jax.lax.fori_loop(
+        0, OPS, step, (i0, qlen.astype(jnp.int32), jnp.int32(0),
+                       ops_k, ops_p, ops_n))
     return best_s, best, ystart, nops, ops_k, ops_p, ops_n
 
 
