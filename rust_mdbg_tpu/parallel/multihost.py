@@ -482,8 +482,10 @@ def _multihost_gfa(mesh, params, prefix, res, n_pass, bases, cap, pid,
     out = join(res["vec"], res["count"], seqlen_dev, res["n_pass"],
                res["id_base"], jax.device_put(bases.astype(np.uint32)))
     so, sr, sj, sc, sab, slen, n_pot, overflow = out
-    overflow = np.asarray(
-        multihost_utils.process_allgather(overflow, tiled=False))
+    # overflow is psum-replicated (out_specs P()): every process holds the
+    # full value — read the local shard, no collective (process_allgather
+    # with tiled=False rejects non-fully-addressable arrays)
+    overflow = np.asarray(overflow.addressable_data(0))
     if overflow.any():
         raise RuntimeError(
             f"multihost edge join overflow {overflow.tolist()}; rerun with "

@@ -99,8 +99,11 @@ def test_multihost_two_processes(tmp_path):
     port = _free_port()
     prefix = str(tmp_path / "mh")
     procs = []
+    # strip the axon trigger too: the sitecustomize it activates overrides
+    # JAX_PLATFORMS=cpu and would put both subprocesses on the shared
+    # remote TPU (slow, contended, and down whenever a kernel faulted it)
     env_base = {k: v for k, v in os.environ.items()
-                if k not in ("XLA_FLAGS",)}
+                if k not in ("XLA_FLAGS", "PALLAS_AXON_POOL_IPS")}
     for pid in range(2):
         env = dict(env_base, JAX_PLATFORMS="cpu",
                    MDBG_COORD=f"127.0.0.1:{port}", MDBG_NPROCS="2",
@@ -121,9 +124,41 @@ def test_multihost_two_processes(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
 
+    # The multihost GLOBAL row order interleaves the two hosts' byte-range
+    # shares in B_host blocks per round, so for multi-locus (repeat)
+    # k-min-mers the abundance-crossing occurrence — and with it the
+    # recorded seqlen/shift/seq — can differ from a single-stream run.
+    # That choice is nondeterministic in the reference itself (thread
+    # arrival order, main.rs:696-699; SURVEY §7 hard-part e), so the exact
+    # comparison target is a host run over the SAME interleaved order.
+    size = os.path.getsize(reads)
+    step = (size + 1) // 2
+    shares = [list(fasta_range_records(reads, p_ * step,
+                                       min(size, (p_ + 1) * step)))
+              for p_ in range(2)]
+    B_host = 16  # batch_reads 32 over 2 hosts
+    inter = []
+    r = 0
+    while any(r * B_host < len(s) for s in shares):
+        for s in shares:
+            inter.extend(s[r * B_host : (r + 1) * B_host])
+        r += 1
+    reordered = str(tmp_path / "inter.fa")
+    with open(reordered, "wb") as f:
+        for name, seq in inter:
+            f.write(b">" + name.encode() + b"\n" + seq + b"\n")
+
     ph = str(tmp_path / "host")
     p = Params(k=7, l=10, density=0.0008, min_kmer_abundance=2,
                engine="host")
-    host_stats = assemble(EXAMPLE, p, ph)
+    host_stats = assemble(reordered, p, ph)
     assert host_stats["nb_nodes"] == 104
     assert _node_map(prefix) == _node_map(ph)
+    # and vs the ORIGINAL order: same node set and abundances — only the
+    # per-node recorded occurrence may differ (repeat loci)
+    ph2 = str(tmp_path / "host2")
+    host2 = assemble(EXAMPLE, p, ph2)
+    assert host2["nb_nodes"] == 104
+    m_a, m_b = _node_map(prefix), _node_map(ph2)
+    assert set(m_a) == set(m_b)
+    assert {v: m_a[v][0] for v in m_a} == {v: m_b[v][0] for v in m_b}
